@@ -1,0 +1,179 @@
+"""Configuration dataclasses for every pipeline in the framework.
+
+Every named constant of the CUDA reference is preserved here as a tunable
+(reference: SURVEY.md §5 config row). Configs are frozen (hashable) so they
+can be passed as static arguments to ``jax.jit``.
+
+Reference constants and their origins:
+  * tile alignment:   tileSize / maxShift grids (kernel.cu:264-378), findMinimum
+                      peak-significance ``threshold`` (kernel.cu:629)
+  * Lucas-Kanade:     halfWindowSize / minDet (opticalFlow.cu:199-200)
+  * robustness model: alpha, beta, thresholdM (RobustnessModell.cu:38-40),
+                      s=1.5 (RobustnessModell.cu:147), t=0.12 (:151)
+  * merge kernel:     kDetail/kDenoise/kStretch/kShrink/Dth/Dtr
+                      (kernel.cu:723-728), ApplyWeighting threshold (kernel.cu:433)
+  * BTV-L1 SR:        scale=2 (multi_frame_sr.cpp:146), iterations CLI arg
+                      (:133), temporalAreaRadius=1 (:182)
+  * dark channel:     window=15 (main.cpp:98), omega=0.95 (main.cpp:159),
+                      t0=0.1 (main.cpp:176), top 0.1% airlight (main.cpp:128)
+  * polar defog:      percent=0.005 (polar_defog.cpp:177), radius=12 (:153),
+                      beta CLI arg (:75), t/R clamps 0.001/0.999
+                      (myKernels.cu:35-48)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    """Tile-pyramid subpixel alignment (the HDR+-style coarse-to-fine search).
+
+    Equivalent of the reference's convertToTilesOverlap* / normalizedCC /
+    findMinimum / UpSampleShifts kernel chain (kernel.cu:118-688).
+    """
+
+    tile_size: int = 16          # alignment tile edge in pixels (per level)
+    search_radius: int = 4       # maxShift: +/- search window per level
+    levels: int = 3              # pyramid levels (coarse-to-fine)
+    downsample: int = 2          # pyramid decimation factor between levels
+    # findMinimum peak-significance gate: if (min + threshold) > max over the
+    # SSD surface the tile is considered featureless and gets zero shift
+    # (kernel.cu:629-633). Expressed relative to tile energy.
+    peak_threshold: float = 0.0
+    subpixel: bool = True        # 3x3 quadratic interpolation of the SSD argmin
+
+
+@dataclasses.dataclass(frozen=True)
+class LKConfig:
+    """Dense Lucas-Kanade refinement (opticalFlow.cu:189-325)."""
+
+    half_window: int = 4         # halfWindowSize: window is (2h+1)^2
+    iterations: int = 3          # warp-and-refine outer iterations
+    min_sigma: float = 1e-4      # minDet: minimum singular value gate
+
+
+@dataclasses.dataclass(frozen=True)
+class RobustnessConfig:
+    """Merge robustness / certainty model (RobustnessModell.cu:28-158)."""
+
+    alpha: float = 0.004         # noise model sigma_md = sqrt(alpha*mean + beta)
+    beta: float = 1e-4
+    threshold_m: float = 0.8     # motion inconsistency gate: s -> 0 if M > thresholdM
+    s: float = 1.5               # mask scale (RobustnessModell.cu:147)
+    t: float = 0.12              # mask offset (RobustnessModell.cu:151)
+
+
+@dataclasses.dataclass(frozen=True)
+class MergeConfig:
+    """Anisotropic kernel-regression merge (kernel.cu:717-790,
+    DeBayerKernels.cu:289-468). Defaults follow the published handheld
+    multi-frame SR parameter ranges."""
+
+    k_detail: float = 0.25
+    k_denoise: float = 3.0
+    k_stretch: float = 4.0
+    k_shrink: float = 2.0
+    d_th: float = 0.001
+    d_tr: float = 0.006
+    # ApplyWeighting: where accumulated weight < threshold, blend in the
+    # fallback (reference/demosaiced) image (kernel.cu:425-481).
+    weight_threshold: float = 1e-2
+    radius: int = 2              # 5x5 neighborhood (DeBayerKernels.cu:317)
+
+
+@dataclasses.dataclass(frozen=True)
+class HandheldConfig:
+    """End-to-end handheld burst super-resolution pipeline."""
+
+    align: AlignConfig = AlignConfig()
+    lk: LKConfig = LKConfig()
+    robustness: RobustnessConfig = RobustnessConfig()
+    merge: MergeConfig = MergeConfig()
+    scale: int = 2               # super-resolution factor
+    cfa_pattern: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 1), (1, 2))
+    # cfa ints: 0=R 1=G 2=B, matching BayerColor (DeBayerKernels.cu:28-41);
+    # default RGGB.
+
+
+@dataclasses.dataclass(frozen=True)
+class BTVConfig:
+    """BTV-L1 multi-frame super-resolution (OpenCV superres::BTVL1_CUDA
+    equivalent; multi_frame_sr.cpp:165-184)."""
+
+    scale: int = 2
+    iterations: int = 10         # gradient-descent iterations per output frame
+    temporal_radius: int = 1     # temporalAreaRadius
+    tau: float = 1.3             # step size (OpenCV BTVL1 default)
+    lam: float = 0.03            # data-term weight (OpenCV `lambda`)
+    alpha: float = 0.7           # BTV spatial decay
+    btv_kernel_size: int = 7     # BTV window
+    blur_sigma: float = 0.0      # 0 => box-like blur of size `scale`
+    optical_flow: str = "pyrlk"  # farneback | tvl1 | brox | pyrlk
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowConfig:
+    """Dense optical flow backends (createOptFlow surface,
+    multi_frame_sr.cpp:61-87)."""
+
+    method: str = "pyrlk"        # pyrlk | farneback | tvl1 | brox
+    pyramid_levels: int = 3
+    # pyrlk
+    lk_half_window: int = 6
+    lk_iterations: int = 5
+    # farneback
+    fb_poly_n: int = 5
+    fb_poly_sigma: float = 1.1
+    fb_win_size: int = 13
+    fb_iterations: int = 5
+    # tvl1 / brox (variational)
+    tv_tau: float = 0.25
+    tv_lambda: float = 0.15
+    tv_theta: float = 0.3
+    tv_iterations: int = 30
+    tv_warps: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class DarkChannelConfig:
+    """He-style dark-channel-prior dehazing (main.cpp:94-190)."""
+
+    window: int = 15             # min-filter window (window_h = window_w = 15)
+    omega: float = 0.95          # haze retention factor
+    t0: float = 0.1              # transmission floor
+    top_percent: float = 0.001   # brightest dark-channel fraction for airlight
+
+
+@dataclasses.dataclass(frozen=True)
+class PolarDefogConfig:
+    """Polarization-difference defogging (polar_defog.cpp:64-303,
+    myKernels.cu:16-52)."""
+
+    radius: int = 12             # dark-prior erode radius => 25x25 window
+    percent: float = 0.005       # top fraction of dark channel for airlight
+    beta: float = 1.55           # polarization-degree scale (CLI arg)
+    t_min: float = 0.001         # transmission clamp (myKernels.cu:35-39)
+    t_max: float = 0.999
+    r_min: float = 0.001         # recovered radiance clamp (myKernels.cu:43-48)
+    r_max: float = 0.999
+
+
+@dataclasses.dataclass(frozen=True)
+class RegistrationConfig:
+    """FFT phase-correlation / log-polar registration (main.cpp:721-1194)."""
+
+    apodization_ratio: float = 0.12   # hanning border radius = ratio*min(h,w)
+    eps: float = 1e-15                # cross-power-spectrum epsilon
+    subpixel: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class BenchConfig:
+    """Warmup-then-measure protocol shared by all benchmark harnesses
+    (multi_frame_sr.cpp:187-206, polar_defog.cpp:126-141)."""
+
+    warmup: int = 5
+    iters: int = 20

@@ -1,0 +1,122 @@
+"""Linear filters: Gaussian, box, Laplacian sharpen, unsharp mask.
+
+TPU design notes: all spatial filters lower to ``lax.conv_general_dilated``
+with depthwise feature groups so XLA tiles them onto the MXU/VPU; separable
+kernels are applied as two rank-1 convs to keep FLOPs minimal.
+
+Reference equivalents: gaussin_filter_1D (main.cpp:370-391,
+boxFilterNPP.cpp:78-99), sharpenImg2 Laplacian sharpen
+(multi_frame_sr.cpp:90-119), sharpenImg unsharp mask (main.cpp:500-566),
+NPP boxFilter (boxFilterNPP sample), boxFilterWithBorderX/Y
+(kernel.cu:148-218).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def gaussian_kernel_1d(sigma: float, size: int | None = None) -> np.ndarray:
+    """Normalized 1-D Gaussian taps. ``size`` defaults to 2*ceil(3*sigma)+1,
+    mirroring the sigma-derived sizing of gaussin_filter_1D
+    (main.cpp:370-391)."""
+    if size is None:
+        size = 2 * int(math.ceil(3.0 * sigma)) + 1
+    if size % 2 == 0:
+        size += 1
+    half = size // 2
+    x = np.arange(-half, half + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    k /= k.sum()
+    return k.astype(np.float32)
+
+
+def _to_nchw(img: jnp.ndarray):
+    """(H,W) | (H,W,C) | (N,H,W,C) -> (N,C,H,W) + restore fn."""
+    if img.ndim == 2:
+        x = img[None, None]
+        restore = lambda y: y[0, 0]
+    elif img.ndim == 3:
+        x = jnp.transpose(img, (2, 0, 1))[None]
+        restore = lambda y: jnp.transpose(y[0], (1, 2, 0))
+    elif img.ndim == 4:
+        x = jnp.transpose(img, (0, 3, 1, 2))
+        restore = lambda y: jnp.transpose(y, (0, 2, 3, 1))
+    else:
+        raise ValueError(f"unsupported rank {img.ndim}")
+    return x, restore
+
+
+def _pad_replicate(x: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    """Edge-replicate pad of an NCHW tensor, matching the clamped-index
+    borders the reference kernels use (e.g. kernel.cu:312-313)."""
+    if ph == 0 and pw == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)), mode="edge")
+
+
+def conv2d(img: jnp.ndarray, kernel: jnp.ndarray, border: str = "replicate") -> jnp.ndarray:
+    """Depthwise 2-D correlation with SAME output size.
+
+    ``kernel`` is (kh, kw) and shared across channels. ``border`` is
+    "replicate" (clamped, reference default) or "zero".
+    """
+    x, restore = _to_nchw(img)
+    kh, kw = kernel.shape
+    c = x.shape[1]
+    k = jnp.broadcast_to(kernel[None, None], (c, 1, kh, kw)).astype(x.dtype)
+    if border == "replicate":
+        x = _pad_replicate(x, kh // 2, kw // 2)
+        pad = "VALID"
+    else:
+        pad = "SAME"
+    y = lax.conv_general_dilated(
+        x, k, (1, 1), pad, feature_group_count=c, precision=lax.Precision.HIGHEST
+    )
+    return restore(y)
+
+
+def separable_filter(
+    img: jnp.ndarray, ky: jnp.ndarray, kx: jnp.ndarray, border: str = "replicate"
+) -> jnp.ndarray:
+    """Apply a separable filter as two rank-1 depthwise convs."""
+    kyj = jnp.asarray(ky).reshape(-1, 1)
+    kxj = jnp.asarray(kx).reshape(1, -1)
+    return conv2d(conv2d(img, kyj, border), kxj, border)
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float, size: int | None = None) -> jnp.ndarray:
+    k = jnp.asarray(gaussian_kernel_1d(sigma, size))
+    return separable_filter(img, k, k)
+
+
+def box_filter(img: jnp.ndarray, size: int, normalize: bool = True) -> jnp.ndarray:
+    """Box filter (NPP boxFilter / kernel.cu:148-218 equivalent)."""
+    k = jnp.ones((size,), jnp.float32)
+    if normalize:
+        k = k / size
+    return separable_filter(img, k, k)
+
+
+def laplacian_sharpen(img: jnp.ndarray) -> jnp.ndarray:
+    """5-point Laplacian sharpen with zeroed 1-px borders, the exact
+    behavior of sharpenImg2 (multi_frame_sr.cpp:90-119): out = clamp(5*c -
+    left - right - up - down), border rows/cols set to 0."""
+    k = jnp.asarray([[0.0, -1.0, 0.0], [-1.0, 5.0, -1.0], [0.0, -1.0, 0.0]], img.dtype)
+    out = conv2d(img, k, border="replicate")
+    out = jnp.clip(out, 0.0, 1.0)
+    h, w = img.shape[0], img.shape[1]
+    mask = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True)
+    if img.ndim == 3:
+        mask = mask[..., None]
+    return jnp.where(mask, out, 0.0)
+
+
+def unsharp_mask(img: jnp.ndarray, sigma: float = 1.0, amount: float = 1.0) -> jnp.ndarray:
+    """Unsharp masking (sharpenImg, main.cpp:507-535 equivalent)."""
+    blurred = gaussian_blur(img, sigma)
+    return jnp.clip(img + amount * (img - blurred), 0.0, 1.0)

@@ -1,0 +1,185 @@
+"""Geometric ops: remap, warp, rotate, resize.
+
+TPU design notes: warps are expressed as XLA gathers over precomputed
+coordinate grids (the TPU equivalent of the reference's CUDA texture
+bilinear reads, e.g. opticalFlow.cu:36-43 and cv::cuda::remap
+main.cpp:1139). Coordinates follow the pixel-index convention: integer
+coordinate = pixel center, matching cv::remap / NPP.
+
+Reference equivalents: cv::cuda::remap (log-polar, main.cpp:1130-1140),
+WarpingKernel (opticalFlow.cu:27-44), nppiRotate (main.cpp:394-497),
+bicubic upsample in BTVL1.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather2d(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
+    """Clamped integer gather: img (H,W[,C]), yi/xi int arrays (...,)."""
+    h, w = img.shape[0], img.shape[1]
+    yi = jnp.clip(yi, 0, h - 1)
+    xi = jnp.clip(xi, 0, w - 1)
+    return img[yi, xi]
+
+
+def remap_bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``img`` at float coords (ys, xs) with bilinear interpolation
+    and clamped (replicate) borders. Output shape = ys.shape (+ channels)."""
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    fy = (ys - y0.astype(ys.dtype))
+    fx = (xs - x0.astype(xs.dtype))
+    if img.ndim == 3:
+        fy = fy[..., None]
+        fx = fx[..., None]
+    p00 = _gather2d(img, y0, x0)
+    p01 = _gather2d(img, y0, x0 + 1)
+    p10 = _gather2d(img, y0 + 1, x0)
+    p11 = _gather2d(img, y0 + 1, x0 + 1)
+    top = p00 + (p01 - p00) * fx
+    bot = p10 + (p11 - p10) * fx
+    return top + (bot - top) * fy
+
+
+def _cubic_weights(t: jnp.ndarray, a: float = -0.75):
+    """OpenCV-convention cubic convolution weights for the 4 taps around a
+    sample with fractional offset t in [0,1)."""
+    # distances of the 4 taps: 1+t, t, 1-t, 2-t
+    def k(x):
+        ax = jnp.abs(x)
+        w1 = ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0
+        w2 = ((a * ax - 5.0 * a) * ax + 8.0 * a) * ax - 4.0 * a
+        return jnp.where(ax <= 1.0, w1, jnp.where(ax < 2.0, w2, 0.0))
+
+    return [k(t + 1.0), k(t), k(1.0 - t), k(2.0 - t)]
+
+
+def remap_bicubic(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Bicubic (a=-0.75, OpenCV INTER_CUBIC) resampling with clamped borders,
+    the equivalent of NPP NPPI_INTER_CUBIC rotation (main.cpp:470) and
+    cv::cuda::remap cubic (main.cpp:1139)."""
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    fy = ys - y0.astype(ys.dtype)
+    fx = xs - x0.astype(xs.dtype)
+    wy = _cubic_weights(fy)
+    wx = _cubic_weights(fx)
+    if img.ndim == 3:
+        wy = [w[..., None] for w in wy]
+        wx = [w[..., None] for w in wx]
+    out = None
+    for i, wyi in enumerate(wy):
+        row = None
+        for j, wxj in enumerate(wx):
+            p = _gather2d(img, y0 + (i - 1), x0 + (j - 1))
+            term = p * wxj
+            row = term if row is None else row + term
+        term = row * wyi
+        out = term if out is None else out + term
+    return out
+
+
+def remap(img, ys, xs, method: str = "bilinear"):
+    if method == "bilinear":
+        return remap_bilinear(img, ys, xs)
+    if method == "bicubic":
+        return remap_bicubic(img, ys, xs)
+    if method == "nearest":
+        return _gather2d(img, jnp.round(ys).astype(jnp.int32), jnp.round(xs).astype(jnp.int32))
+    raise ValueError(f"unknown method {method!r}")
+
+
+def identity_grid(h: int, w: int, dtype=jnp.float32):
+    """(ys, xs) pixel-center index grids of shape (h, w)."""
+    ys = jax.lax.broadcasted_iota(dtype, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(dtype, (h, w), 1)
+    return ys, xs
+
+
+def warp_backward(img: jnp.ndarray, flow: jnp.ndarray, method: str = "bilinear") -> jnp.ndarray:
+    """Backward-warp ``img`` by a dense flow field (H, W, 2) ordered
+    (dy, dx): out(p) = img(p + flow(p)). Equivalent of WarpingKernel
+    (opticalFlow.cu:27-44)."""
+    h, w = img.shape[0], img.shape[1]
+    ys, xs = identity_grid(h, w, flow.dtype)
+    return remap(img, ys + flow[..., 0], xs + flow[..., 1], method)
+
+
+def translate(img: jnp.ndarray, dy, dx, method: str = "bilinear") -> jnp.ndarray:
+    """Sample img at (y+dy, x+dx): shifts the scene by (-dy, -dx)."""
+    h, w = img.shape[0], img.shape[1]
+    ys, xs = identity_grid(h, w)
+    return remap(img, ys + dy, xs + dx, method)
+
+
+def rotate(
+    img: jnp.ndarray,
+    angle_rad: float,
+    method: str = "bicubic",
+    center: tuple | None = None,
+) -> jnp.ndarray:
+    """Rotate about the image center (same output size), equivalent of the
+    NPP rotate demo (main.cpp:394-497, boxFilterNPP.cpp:282-297)."""
+    h, w = img.shape[0], img.shape[1]
+    if center is None:
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    else:
+        cy, cx = center
+    ys, xs = identity_grid(h, w)
+    ca = jnp.cos(angle_rad)
+    sa = jnp.sin(angle_rad)
+    yr = ys - cy
+    xr = xs - cx
+    src_y = cy + sa * xr + ca * yr
+    src_x = cx + ca * xr - sa * yr
+    return remap(img, src_y, src_x, method)
+
+
+def resize(img: jnp.ndarray, out_h: int, out_w: int, method: str = "bilinear") -> jnp.ndarray:
+    """Resize with OpenCV pixel-center alignment: src = (dst+0.5)*scale-0.5."""
+    h, w = img.shape[0], img.shape[1]
+    sy = h / out_h
+    sx = w / out_w
+    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5
+    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * sx - 0.5
+    ys = jnp.broadcast_to(ys[:, None], (out_h, out_w))
+    xs = jnp.broadcast_to(xs[None, :], (out_h, out_w))
+    return remap(img, ys, xs, method)
+
+
+def upscale(img: jnp.ndarray, scale: int, method: str = "bicubic") -> jnp.ndarray:
+    return resize(img, img.shape[0] * scale, img.shape[1] * scale, method)
+
+
+def downscale(img: jnp.ndarray, scale: int, method: str = "bilinear") -> jnp.ndarray:
+    return resize(img, img.shape[0] // scale, img.shape[1] // scale, method)
+
+
+def downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average-pool decimation (pyramid builder). Matches the reference
+    pyramid's half-resolution convention (deBayersSubSample3-style)."""
+    h, w = img.shape[0], img.shape[1]
+    h2, w2 = h // 2, w // 2
+    x = img[: h2 * 2, : w2 * 2]
+    if img.ndim == 2:
+        return x.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+    c = img.shape[2]
+    return x.reshape(h2, 2, w2, 2, c).mean(axis=(1, 3))
+
+
+def upsample_zero(img: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Zero-stuffing upsample (transpose of strided decimation), used by the
+    BTV-L1 adjoint operator chain."""
+    h, w = img.shape[0], img.shape[1]
+    if img.ndim == 2:
+        out = jnp.zeros((h * scale, w * scale), img.dtype)
+        return out.at[::scale, ::scale].set(img)
+    c = img.shape[2]
+    out = jnp.zeros((h * scale, w * scale, c), img.dtype)
+    return out.at[::scale, ::scale, :].set(img)

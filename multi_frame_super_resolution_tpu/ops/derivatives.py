@@ -13,20 +13,22 @@ consistent with it (registration/lucas_kanade.py).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from multi_frame_super_resolution_tpu.ops.filters import conv2d
 
 
 # correlation taps at offsets (-2, -1, 0, +1, +2): standard 5-point derivative
-_D5 = jnp.asarray([1.0, -8.0, 0.0, 8.0, -1.0], jnp.float32) / 12.0
+# (kept as numpy so importing the module never initializes a jax backend)
+_D5 = np.asarray([1.0, -8.0, 0.0, 8.0, -1.0], np.float32) / 12.0
 
 
 def derivative5_x(img: jnp.ndarray) -> jnp.ndarray:
-    return conv2d(img, _D5.reshape(1, 5), border="replicate")
+    return conv2d(img, jnp.asarray(_D5.reshape(1, 5)), border="replicate")
 
 
 def derivative5_y(img: jnp.ndarray) -> jnp.ndarray:
-    return conv2d(img, _D5.reshape(5, 1), border="replicate")
+    return conv2d(img, jnp.asarray(_D5.reshape(5, 1)), border="replicate")
 
 
 def derivatives(img: jnp.ndarray):

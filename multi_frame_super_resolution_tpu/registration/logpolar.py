@@ -1,0 +1,134 @@
+"""FFT log-polar rotation/scale/translation registration.
+
+Completes the imreg_fmt-style pipeline the reference left unfinished
+(fft_image_registration, main.cpp:861-1194: the log-polar phase
+correlation is computed but the rotation/scale recovery and the final
+translation stage discard their results at main.cpp:1158-1161). Pipeline:
+
+  gray -> apodize (Hanning-edge window) -> FFT -> fftshift ->
+  high-pass x magnitude -> log-polar remap -> phase-correlate the two
+  log-polar magnitudes -> (rotation, scale) -> unrotate/unscale ->
+  phase-correlate -> translation.
+
+Log-polar geometry follows the reference exactly (main.cpp:875-932):
+square maps of size max(rows, cols), log base exp(log(rows*1.1/2)/size),
+angles spanning [0, -pi].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_frame_super_resolution_tpu.config import RegistrationConfig
+from multi_frame_super_resolution_tpu.ops.fourier import (
+    apodization_window,
+    cross_power_spectrum,
+    high_pass_filter,
+)
+from multi_frame_super_resolution_tpu.ops.geometry import remap, rotate, upscale
+from multi_frame_super_resolution_tpu.registration.phase_correlation import (
+    phase_correlate,
+)
+
+
+def log_polar_params(rows: int, cols: int) -> Tuple[int, float]:
+    """(map size, log base) as computed at main.cpp:878-881."""
+    size = max(rows, cols)
+    log_base = math.exp(math.log(rows * 1.1 / 2.0) / size)
+    return size, log_base
+
+
+def log_polar_maps(rows: int, cols: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(ymap, xmap) of shape (size, size): row i is angle -i*pi/(size-1),
+    column j is radius logBase^j, about the image center
+    (main.cpp:883-932)."""
+    size, log_base = log_polar_params(rows, cols)
+    scales = np.power(log_base, np.arange(size, dtype=np.float64))
+    angles = -np.arange(size, dtype=np.float64) * (np.pi / (size - 1))
+    xmap = scales[None, :] * np.cos(angles)[:, None] + cols / 2.0
+    ymap = scales[None, :] * np.sin(angles)[:, None] + rows / 2.0
+    return ymap.astype(np.float32), xmap.astype(np.float32)
+
+
+def to_log_polar(img: jnp.ndarray, method: str = "bicubic") -> jnp.ndarray:
+    ymap, xmap = log_polar_maps(img.shape[0], img.shape[1])
+    return remap(img, jnp.asarray(ymap), jnp.asarray(xmap), method)
+
+
+def _spectral_magnitude(img: jnp.ndarray, window: jnp.ndarray, hp: jnp.ndarray) -> jnp.ndarray:
+    """Apodize, FFT, fftshift, high-pass-weighted magnitude — the fused
+    equivalent of main.cpp:955-1090 (cv::cuda::multiply + copy_R2C + FFT +
+    fftshift_2D + high_pass_filtering)."""
+    f = jnp.fft.fftshift(jnp.fft.fft2(img * window))
+    return hp * jnp.abs(f)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SimilarityTransform:
+    rotation: jnp.ndarray    # radians
+    scale: jnp.ndarray       # isotropic
+    translation: jnp.ndarray # (dy, dx)
+    response: jnp.ndarray    # final phase-correlation peak
+
+
+def register_rotation_scale(
+    im0: jnp.ndarray, im1: jnp.ndarray, cfg: RegistrationConfig = RegistrationConfig()
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Recover (rotation, scale, response) such that im1 is im0 rotated by
+    ``rotation`` (about the center) and scaled by ``scale``."""
+    rows, cols = im0.shape
+    size, log_base = log_polar_params(rows, cols)
+    win = jnp.asarray(
+        apodization_window(rows, cols, int(cfg.apodization_ratio * min(rows, cols)))
+    )
+    hp = jnp.asarray(high_pass_filter(rows, cols))
+    m0 = _spectral_magnitude(im0, win, hp)
+    m1 = _spectral_magnitude(im1, win, hp)
+    lp0 = to_log_polar(m0)
+    lp1 = to_log_polar(m1)
+    (shift, peak) = phase_correlate(lp0, lp1, cfg.eps, cfg.subpixel)
+    # row shift <-> rotation (angle step pi/(size-1), negative direction);
+    # col shift <-> log-radius <-> scale
+    rotation = shift[0] * (jnp.pi / (size - 1))
+    scale = jnp.power(log_base, -shift[1])
+    return rotation, scale, peak
+
+
+def register_translation(
+    im0: jnp.ndarray, im1: jnp.ndarray, cfg: RegistrationConfig = RegistrationConfig()
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(dy, dx) such that im1(x) ~= im0(x + d) — apodized global phase
+    correlation (fftreg_phaseCorrelate, main.cpp:768-859)."""
+    rows, cols = im0.shape
+    win = jnp.asarray(
+        apodization_window(rows, cols, int(cfg.apodization_ratio * min(rows, cols)))
+    )
+    return phase_correlate(im0, im1, cfg.eps, cfg.subpixel, window=win)
+
+
+def register_similarity(
+    im0: jnp.ndarray, im1: jnp.ndarray, cfg: RegistrationConfig = RegistrationConfig()
+) -> SimilarityTransform:
+    """Full rotation+scale+translation registration: recover the rotation
+    and scale from the log-polar stage, undo them on im1, then recover the
+    residual translation — the stage the reference never finished."""
+    rotation, scale, _ = register_rotation_scale(im0, im1, cfg)
+    h, w = im1.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w)) - cy
+    xs = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w)) - cx
+    # inverse similarity (rotation about center by -rotation, scale 1/s)
+    ca = jnp.cos(rotation)
+    sa = jnp.sin(rotation)
+    src_y = (sa * xs + ca * ys) * scale + cy
+    src_x = (ca * xs - sa * ys) * scale + cx
+    unrotated = remap(im1, src_y, src_x, "bicubic")
+    shift, peak = register_translation(im0, unrotated, cfg)
+    return SimilarityTransform(rotation=rotation, scale=scale, translation=shift, response=peak)

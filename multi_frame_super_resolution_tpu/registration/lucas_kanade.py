@@ -1,0 +1,90 @@
+"""Dense Lucas-Kanade optical-flow refinement.
+
+TPU-native equivalent of lucasKanadeOptim (opticalFlow.cu:189-325): the
+reference runs one CUDA thread per pixel looping over a (2h+1)^2 window;
+here the window sums are separable box filters (VPU-fused convs) and the
+2x2 solve is closed-form element-wise math, with the same
+minimum-singular-value gate (minDet). The iterate-and-warp loop is a
+``lax.fori_loop`` so the whole refinement stays inside one XLA program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from multi_frame_super_resolution_tpu.config import FlowConfig, LKConfig
+from multi_frame_super_resolution_tpu.ops.derivatives import derivatives_pair
+from multi_frame_super_resolution_tpu.ops.filters import box_filter
+from multi_frame_super_resolution_tpu.ops.geometry import downsample2, resize, warp_backward
+
+
+def lk_step(ref: jnp.ndarray, warped: jnp.ndarray, cfg: LKConfig) -> jnp.ndarray:
+    """One LK increment (H, W, 2) given the reference image and the
+    current warped moving image."""
+    ix, iy, it = derivatives_pair(ref, warped)  # it = ref - warped
+    win = 2 * cfg.half_window + 1
+
+    def wsum(x):
+        return box_filter(x, win, normalize=False)
+
+    sxx = wsum(ix * ix)
+    sxy = wsum(ix * iy)
+    syy = wsum(iy * iy)
+    sxt = wsum(ix * it)
+    syt = wsum(iy * it)
+
+    # eigenvalues of the symmetric PSD normal matrix = its singular values
+    tr = sxx + syy
+    disc = jnp.sqrt((sxx - syy) ** 2 + 4.0 * sxy * sxy)
+    lam_min = 0.5 * (tr - disc)
+    ok = lam_min > cfg.min_sigma
+
+    det = sxx * syy - sxy * sxy
+    safe_det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    dx = (syy * sxt - sxy * syt) / safe_det
+    dy = (sxx * syt - sxy * sxt) / safe_det
+    valid = ok & (jnp.abs(det) > 1e-12)
+    dx = jnp.where(valid, dx, 0.0)
+    dy = jnp.where(valid, dy, 0.0)
+    step = jnp.stack([dy, dx], axis=-1)
+    return jnp.nan_to_num(step, nan=0.0)
+
+
+def lk_refine(
+    ref: jnp.ndarray,
+    moved: jnp.ndarray,
+    flow0: jnp.ndarray,
+    cfg: LKConfig = LKConfig(),
+) -> jnp.ndarray:
+    """Iteratively refine a dense flow so that moved(x + flow(x)) ~= ref(x).
+
+    ref, moved: (H, W) grayscale; flow0: (H, W, 2) initial flow (dy, dx).
+    """
+
+    def body(_, flow):
+        warped = warp_backward(moved, flow)
+        return flow + lk_step(ref, warped, cfg)
+
+    return jax.lax.fori_loop(0, cfg.iterations, body, flow0)
+
+
+def pyrlk_flow(
+    ref: jnp.ndarray, moved: jnp.ndarray, cfg: FlowConfig = FlowConfig()
+) -> jnp.ndarray:
+    """Standalone pyramidal LK dense optical flow — the `pyrlk` backend of
+    the createOptFlow surface (multi_frame_sr.cpp:81-82)."""
+    lk = LKConfig(half_window=cfg.lk_half_window, iterations=cfg.lk_iterations)
+    ref_pyr = [ref]
+    mov_pyr = [moved]
+    for _ in range(cfg.pyramid_levels - 1):
+        ref_pyr.append(downsample2(ref_pyr[-1]))
+        mov_pyr.append(downsample2(mov_pyr[-1]))
+
+    flow = jnp.zeros(ref_pyr[-1].shape + (2,), jnp.float32)
+    for level in range(cfg.pyramid_levels - 1, -1, -1):
+        if level != cfg.pyramid_levels - 1:
+            h, w = ref_pyr[level].shape
+            flow = resize(flow, h, w, "bilinear") * 2.0
+        flow = lk_refine(ref_pyr[level], mov_pyr[level], flow, lk)
+    return flow

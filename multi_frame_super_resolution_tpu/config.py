@@ -96,6 +96,9 @@ class HandheldConfig:
     cfa_pattern: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 1), (1, 2))
     # cfa ints: 0=R 1=G 2=B, matching BayerColor (DeBayerKernels.cu:28-41);
     # default RGGB.
+    use_lk: bool = True          # dense LK refinement after tile alignment
+    st_window: int = 3           # structure-tensor smoothing window
+    gamma: bool = False          # sRGB-encode the output (RAW/linear input)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,124 @@
+"""End-to-end handheld multi-frame super-resolution.
+
+The flagship pipeline (BASELINE.json north star; reference dataflow at
+SURVEY.md §3.4): align -> dense flow -> robustness -> anisotropic
+kernel-regression merge -> normalize -> finish, as ONE jittable XLA
+program with zero host round trips. Two variants:
+
+  * ``handheld_superres`` — RGB burst in, RGB s-x out (the deliverable
+    benchmark path over the bundled city/car/iso bursts)
+  * ``handheld_superres_raw`` — Bayer RAW burst in (the latent RAW
+    pipeline: deBayersSubSample3 half-res alignment + CFA-aware merge,
+    DeBayerKernels.cu / kernel.cu / opticalFlow.cu / RobustnessModell.cu)
+
+Batch across chips by vmapping either entry point and sharding the batch
+axis on the data mesh (see parallel/).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from multi_frame_super_resolution_tpu.config import HandheldConfig
+from multi_frame_super_resolution_tpu.models.merge import (
+    apply_weighting,
+    kernel_params,
+    merge_burst_raw,
+    merge_burst_rgb,
+    smoothed_structure_tensor,
+)
+from multi_frame_super_resolution_tpu.models.robustness import robustness_mask
+from multi_frame_super_resolution_tpu.ops.color import rgb_to_gray, srgb_gamma
+from multi_frame_super_resolution_tpu.ops.debayer import debayer, debayer_subsample
+from multi_frame_super_resolution_tpu.ops.geometry import resize, upscale
+from multi_frame_super_resolution_tpu.registration.align import (
+    align_burst,
+    flow_from_tile_shifts,
+)
+from multi_frame_super_resolution_tpu.registration.lucas_kanade import lk_refine
+
+
+def _burst_flows(
+    gray: jnp.ndarray, cfg: HandheldConfig
+) -> jnp.ndarray:
+    """Tile-align a grayscale burst (F, H, W) against frame 0 and densify
+    (+ optional LK refinement). Returns flows (F, H, W, 2)."""
+    f, h, w = gray.shape
+    tile_shifts = align_burst(gray, cfg.align)
+    flows = jax.vmap(
+        lambda s: flow_from_tile_shifts(s, cfg.align.tile_size, h, w)
+    )(tile_shifts)
+    if cfg.use_lk:
+        ref = gray[0]
+        flows = jax.vmap(lambda g, fl: lk_refine(ref, g, fl, cfg.lk))(gray, flows)
+        flows = flows.at[0].set(0.0)
+    return flows
+
+
+def _burst_certainty(
+    rgb: jnp.ndarray, flows: jnp.ndarray, cfg: HandheldConfig
+) -> jnp.ndarray:
+    """Robustness certainties (F, H, W, 3); the reference frame gets full
+    certainty."""
+    ref = rgb[0]
+    cert = jax.vmap(
+        lambda mv, fl: robustness_mask(ref, mv, fl, cfg.robustness)[..., :3]
+    )(rgb, flows)
+    return cert.at[0].set(1.0)
+
+
+def handheld_superres(
+    burst: jnp.ndarray, cfg: HandheldConfig = HandheldConfig()
+) -> jnp.ndarray:
+    """RGB burst (F, H, W, 3) -> merged (scale*H, scale*W, 3)."""
+    gray = rgb_to_gray(burst)
+    flows = _burst_flows(gray, cfg)
+    cert = _burst_certainty(burst, flows, cfg)
+
+    st = smoothed_structure_tensor(gray[0], cfg.st_window)
+    omega_inv = kernel_params(st, cfg.merge)
+
+    num, den = merge_burst_rgb(
+        burst, flows, cert, omega_inv, cfg.scale, cfg.merge.radius
+    )
+    fallback = upscale(burst[0], cfg.scale, "bicubic")
+    out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
+    if cfg.gamma:
+        out = srgb_gamma(out)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def handheld_superres_raw(
+    raw_burst: jnp.ndarray, cfg: HandheldConfig = HandheldConfig(gamma=True)
+) -> jnp.ndarray:
+    """Bayer RAW burst (F, H, W), values normalized to [0, 1] -> merged
+    RGB (scale*H, scale*W, 3).
+
+    Alignment, LK, and robustness run at half resolution on the
+    deBayersSubSample3 RGB images (as the reference pipeline does); the
+    merge gathers full-resolution RAW samples into their own CFA channels.
+    """
+    f, h, w = raw_burst.shape
+    half = jax.vmap(lambda r: debayer_subsample(r, cfg.cfa_pattern))(raw_burst)
+    gray_half = rgb_to_gray(half)
+
+    flows_half = _burst_flows(gray_half, cfg)
+    cert = _burst_certainty(half, flows_half, cfg)
+
+    st = smoothed_structure_tensor(gray_half[0], cfg.st_window)
+    # half-res-unit gradients -> RAW-res grid (values are unit-sensitive
+    # only through the tuned k-constants)
+    omega_inv = resize(kernel_params(st, cfg.merge), h, w, "bilinear")
+
+    flows_raw = jax.vmap(lambda fl: resize(fl, h, w, "bilinear") * 2.0)(flows_half)
+
+    num, den = merge_burst_raw(
+        raw_burst, flows_raw, cert, omega_inv, cfg.cfa_pattern, cfg.scale,
+        cfg.merge.radius,
+    )
+    fallback = upscale(debayer(raw_burst[0], cfg.cfa_pattern), cfg.scale, "bicubic")
+    out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
+    if cfg.gamma:
+        out = srgb_gamma(out)
+    return jnp.clip(out, 0.0, 1.0)

@@ -1,0 +1,11 @@
+from multi_frame_super_resolution_tpu.parallel.mesh import (
+    burst_batch_sharding,
+    data_model_mesh,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from multi_frame_super_resolution_tpu.parallel.spatial import (
+    sharded_rows,
+    spatial_map,
+)

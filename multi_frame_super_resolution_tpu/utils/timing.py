@@ -70,10 +70,13 @@ def measure(
     for _ in range(warmup):
         out = fn()
         jax.block_until_ready(out)
+    # fence EVERY iteration: blocking only on the final result is not
+    # reliable on remote-execution backends (observed returning before
+    # predecessors completed), and honest throughput is the point
     start = time.perf_counter()
     for _ in range(iters):
         out = fn()
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)
     seconds = time.perf_counter() - start
     return BenchmarkResult(
         name=name, seconds=seconds, iters=iters, pixels_per_iter=pixels_per_iter

@@ -1,0 +1,81 @@
+"""Multi-frame SR CLI.
+
+Mirrors the reference app's surface and protocol exactly
+(multi_frame_sr.cpp:122-210):
+
+    mfsr-multi-frame-sr [optFlowName inputName iterations]
+
+  * optFlowName: farneback | tvl1 | brox | pyrlk
+  * inputName:   city | car | iso
+  * iterations:  BTV-L1 iterations (default 10)
+
+Processes num_images x 10 frames cyclically, timing the last
+num_images x 5 (warmup = first half), prints seconds and FPS, writes
+``{input}_{optflow}_sr_result.png`` and the Laplacian-sharpened
+``..._sr2_result.png``.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) == 0:
+        opt_flow, input_name, iterations = "farneback", "city", 10
+    elif len(argv) == 3:
+        opt_flow, input_name = argv[0], argv[1]
+        iterations = max(int(argv[2]), 1)
+    else:
+        print("mfsr-multi-frame-sr optFlowName inputName iterations")
+        print("\toptFlowName: farneback, tvl1, brox, pyrlk")
+        print("\tinputName: city, car, iso")
+        print("\titerations: integer, 1, 10, etc.")
+        return -1
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multi_frame_super_resolution_tpu.config import BTVConfig
+    from multi_frame_super_resolution_tpu.data import imwrite, load_burst
+    from multi_frame_super_resolution_tpu.models import btvl1_superres
+    from multi_frame_super_resolution_tpu.ops.filters import laplacian_sharpen
+
+    burst_np = load_burst(input_name)
+    num_images = burst_np.shape[0]
+    for i in range(num_images):
+        print(f"{input_name}[{i}], {burst_np.shape[2]}x{burst_np.shape[1]}")
+
+    burst = jnp.asarray(burst_np)
+    cfg = BTVConfig(scale=2, iterations=iterations, temporal_radius=1,
+                    optical_flow=opt_flow)
+    sr = jax.jit(
+        lambda b, t: btvl1_superres(b, t, cfg), static_argnums=(1,)
+    )
+
+    num_times = 10
+    real_times = 5
+    start_i = (num_times - real_times) * num_images
+
+    result = None
+    t_start = None
+    for i in range(num_images * num_times):
+        if i == start_i:
+            t_start = time.perf_counter()
+        result = jax.block_until_ready(sr(burst, i % num_images))
+    elapsed = time.perf_counter() - t_start
+    print(f"{elapsed} sec")
+    print(f"{(num_images * num_times - start_i) / elapsed} FPS")
+
+    out = np.asarray(result)
+    imwrite(f"{input_name}_{opt_flow}_sr_result.png", out)
+    sharpened = np.asarray(laplacian_sharpen(jnp.asarray(out)))
+    imwrite(f"{input_name}_{opt_flow}_sr2_result.png", sharpened)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

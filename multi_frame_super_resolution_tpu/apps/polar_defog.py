@@ -1,0 +1,112 @@
+"""Polarization-defog CLI.
+
+Mirrors the reference app's surface and protocol
+(polar_defog.cpp:64-303):
+
+    mfsr-polar-defog debug inputType beta
+
+  * debug: 0 | 1 (1 => single frame, dump intermediates)
+  * inputType: 1 => 16-bit TIFF pair ImageWorst_tiff16.tiff /
+    ImageBest_tiff16.tiff; 2 => degree0/45/90.tiff Stokes synthesis;
+    3 => synthetic fog (self-contained demo; not in the reference)
+  * beta: polarization scale (1.55 for type 1, 10 for type 2)
+
+Runs 32 warmup + 256 timed frames fully on device (airlight top-k
+included — no CPU sort round trip), prints seconds and FPS, writes
+R_gpu.png.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def _load_inputs(input_type: int):
+    import numpy as np  # used by every branch
+
+    from multi_frame_super_resolution_tpu.data import imread_u16
+
+    if input_type == 1:
+        iper = imread_u16("ImageWorst_tiff16.tiff")
+        ipar = imread_u16("ImageBest_tiff16.tiff")
+        if iper.ndim == 2:
+            iper = np.repeat(iper[..., None], 3, -1)
+            ipar = np.repeat(ipar[..., None], 3, -1)
+        return iper, ipar
+    if input_type == 2:
+        import jax.numpy as jnp
+
+        from multi_frame_super_resolution_tpu.models import stokes_synthesis  # noqa: PLC0415
+
+        i0 = imread_u16("degree0.tiff")
+        i45 = imread_u16("degree45.tiff")
+        i90 = imread_u16("degree90.tiff")
+        iper, ipar = stokes_synthesis(
+            jnp.asarray(i0), jnp.asarray(i45), jnp.asarray(i90)
+        )
+        return np.asarray(iper), np.asarray(ipar)
+    if input_type == 3:
+        rng = np.random.default_rng(0)
+        base = rng.random((300, 400, 3)).astype(np.float32) * 0.5
+        haze = np.linspace(0.2, 0.7, 300, dtype=np.float32)[:, None, None]
+        iper = np.clip(base * 0.5 + haze * 0.8, 0, 1)
+        ipar = np.clip(base * 0.5 + haze * 0.3, 0, 1)
+        return iper, ipar
+    raise ValueError("inputType must be 1, 2 or 3")
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) != 3:
+        print("mfsr-polar-defog debug inputType beta")
+        print("\tdebug: 0 or 1")
+        print("\tinputType: 1, 2 or 3 (3: synthetic demo)")
+        print("\tbeta: 1.55 for 1 and 10 for 2, need to adjust")
+        return -1
+    debug = bool(int(argv[0]))
+    input_type = int(argv[1])
+    beta = float(argv[2])
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multi_frame_super_resolution_tpu.config import PolarDefogConfig
+    from multi_frame_super_resolution_tpu.data import imwrite
+    from multi_frame_super_resolution_tpu.models import polar_defog
+
+    iper_np, ipar_np = _load_inputs(input_type)
+    cfg = PolarDefogConfig(beta=beta)
+    fn = jax.jit(lambda a, b: polar_defog(a, b, cfg, return_intermediates=True))
+
+    warmup = 0 if debug else 32
+    real_num = 1 if debug else 256
+
+    iper = jnp.asarray(iper_np)
+    ipar = jnp.asarray(ipar_np)
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(iper, ipar))
+    t0 = time.perf_counter()
+    for _ in range(real_num):
+        r, a, t = fn(iper, ipar)
+        jax.block_until_ready(r)
+    elapsed = time.perf_counter() - t0
+    print(f"{elapsed} sec")
+    print(f"{real_num / elapsed} FPS")
+
+    out = np.asarray(r)
+    imwrite("R_gpu.png", out)
+    if debug:
+        np.savez("polar_defog_debug.npz", A=np.asarray(a), t=np.asarray(t), R=out)
+        print("A minmax:", float(jnp.min(a)), float(jnp.max(a)))
+        print("t minmax:", float(jnp.min(t)), float(jnp.max(t)))
+        print("R minmax:", float(jnp.min(r)), float(jnp.max(r)))
+    return 0
+
+
+if __name__ == "__main__":
+    import numpy as np  # noqa: F401
+
+    sys.exit(main())

@@ -1,0 +1,62 @@
+"""Full benchmark matrix — the runall.sh equivalent
+(finalProject/Project/runall.sh:1-15): 4 optical flows x 3 datasets of
+BTV-L1 SR at iterations=10, plus the defog configurations, printing one
+summary line per configuration.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    quick = "--quick" in argv
+
+    import jax
+    import jax.numpy as jnp
+
+    from multi_frame_super_resolution_tpu.config import BTVConfig, PolarDefogConfig
+    from multi_frame_super_resolution_tpu.data import load_burst
+    from multi_frame_super_resolution_tpu.models import btvl1_superres, polar_defog
+    from multi_frame_super_resolution_tpu.apps.polar_defog import _load_inputs
+
+    flows = ["farneback", "tvl1", "pyrlk", "brox"]
+    datasets = ["city", "car", "iso"]
+    if quick:
+        flows = flows[:1]
+        datasets = datasets[:1]
+
+    # defog configs (runall.sh:1-3 uses the TIFF inputs; here the
+    # synthetic input type keeps the matrix self-contained)
+    iper, ipar = _load_inputs(3)
+    for beta in ([1.55] if quick else [1.55, 10.0]):
+        cfg = PolarDefogConfig(beta=beta)
+        fn = jax.jit(lambda a, b: polar_defog(a, b, cfg))
+        out = jax.block_until_ready(fn(jnp.asarray(iper), jnp.asarray(ipar)))
+        iters = 8 if quick else 64
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jax.block_until_ready(fn(jnp.asarray(iper), jnp.asarray(ipar)))
+        dt = time.perf_counter() - t0
+        print(f"polar_defog beta={beta}: {dt:.3f} sec, {iters / dt:.2f} FPS")
+
+    for ds in datasets:
+        burst = jnp.asarray(load_burst(ds))
+        f = burst.shape[0]
+        for flow in flows:
+            cfg = BTVConfig(scale=2, iterations=10, optical_flow=flow)
+            sr = jax.jit(lambda b: btvl1_superres(b, 0, cfg))
+            jax.block_until_ready(sr(burst))  # warmup/compile
+            n = 2 if quick else f
+            t0 = time.perf_counter()
+            for _ in range(n):
+                jax.block_until_ready(sr(burst))
+            dt = time.perf_counter() - t0
+            print(f"multi_frame_sr {flow} {ds} 10: {dt:.3f} sec, {n / dt:.2f} FPS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,11 +19,20 @@ from multi_frame_super_resolution_tpu.registration.logpolar import (
     register_translation,
     to_log_polar,
 )
+from multi_frame_super_resolution_tpu.registration.farneback import (
+    farneback_flow,
+    poly_expansion,
+)
 from multi_frame_super_resolution_tpu.registration.lucas_kanade import (
     lk_refine,
     lk_step,
     pyrlk_flow,
 )
+from multi_frame_super_resolution_tpu.registration.optical_flow import (
+    available_backends,
+    create_optical_flow,
+)
+from multi_frame_super_resolution_tpu.registration.tvl1 import brox_flow, tvl1_flow
 from multi_frame_super_resolution_tpu.registration.phase_correlation import (
     correlation_surface,
     phase_correlate,

@@ -53,6 +53,9 @@ class LKConfig:
     half_window: int = 4         # halfWindowSize: window is (2h+1)^2
     iterations: int = 3          # warp-and-refine outer iterations
     min_sigma: float = 1e-4      # minDet: minimum singular value gate
+    # >0: warp with the gatherless bounded-residual scheme (flows clamped
+    # to +-bounded_warp px) instead of the general gather warp
+    bounded_warp: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,6 +102,8 @@ class HandheldConfig:
     use_lk: bool = True          # dense LK refinement after tile alignment
     st_window: int = 3           # structure-tensor smoothing window
     gamma: bool = False          # sRGB-encode the output (RAW/linear input)
+    fast: bool = True            # gatherless tile-warp + static-tap merge
+    residual_bound: float = 1.0  # fast path: subpixel residual clamp (px)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -71,7 +71,13 @@ def _burst_certainty(
 def handheld_superres(
     burst: jnp.ndarray, cfg: HandheldConfig = HandheldConfig()
 ) -> jnp.ndarray:
-    """RGB burst (F, H, W, 3) -> merged (scale*H, scale*W, 3)."""
+    """RGB burst (F, H, W, 3) -> merged (scale*H, scale*W, 3).
+
+    Dispatches to the gatherless fast path (cfg.fast, the TPU production
+    path) or the gather-based oracle implementation (kept for parity
+    testing and arbitrary-flow research use)."""
+    if cfg.fast:
+        return _handheld_fast(burst, cfg)
     gray = rgb_to_gray(burst)
     flows = _burst_flows(gray, cfg)
     cert = _burst_certainty(burst, flows, cfg)
@@ -83,6 +89,77 @@ def handheld_superres(
         burst, flows, cert, omega_inv, cfg.scale, cfg.merge.radius
     )
     fallback = upscale(burst[0], cfg.scale, "bicubic")
+    out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
+    if cfg.gamma:
+        out = srgb_gamma(out)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def _handheld_fast(burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
+    """Gatherless pipeline: tile-align -> integer tile warp -> bounded
+    residual (optional LK) -> robustness on warped frames -> static-tap
+    kernel-regression merge (models/fast_merge.py)."""
+    import dataclasses
+
+    from multi_frame_super_resolution_tpu.models.fast_merge import merge_burst_fast
+    from multi_frame_super_resolution_tpu.ops.warp_fast import (
+        tile_shift_decompose,
+        tile_warp_int,
+        upsample_int,
+        upsample_nearest,
+    )
+    from multi_frame_super_resolution_tpu.registration.lucas_kanade import lk_refine
+
+    f, h, w = burst.shape[:3]
+    t = cfg.align.tile_size
+    gray = rgb_to_gray(burst)
+
+    tile_shifts = align_burst(gray, cfg.align)
+    int_shifts, res_tiles = tile_shift_decompose(tile_shifts)
+
+    # integer tile warp into reference geometry (per frame, per channel)
+    def warp_frame(frame, ints):
+        return jnp.stack(
+            [tile_warp_int(frame[..., c], ints, t) for c in range(frame.shape[-1])],
+            axis=-1,
+        )
+
+    warped = jax.vmap(warp_frame)(burst, int_shifts)
+    warped = warped.at[0].set(burst[0])
+
+    # residual subpixel flow, piecewise constant per tile
+    def lift(res):
+        return jnp.repeat(jnp.repeat(res, t, axis=0), t, axis=1)[:h, :w]
+
+    res_flow = jax.vmap(lift)(res_tiles)
+
+    if cfg.use_lk:
+        lk_cfg = dataclasses.replace(
+            cfg.lk, bounded_warp=max(int(cfg.residual_bound) + 1, 2)
+        )
+        gray_w = rgb_to_gray(warped)
+        ref_g = gray_w[0]
+        res_flow = jax.vmap(lambda g, fl: lk_refine(ref_g, g, fl, lk_cfg))(
+            gray_w, res_flow
+        )
+        res_flow = res_flow.at[0].set(0.0)
+    res_flow = jnp.clip(res_flow, -cfg.residual_bound, cfg.residual_bound)
+
+    # robustness on the warped frames (flows are now bounded-small)
+    ref = warped[0]
+    cert = jax.vmap(
+        lambda mv, fl: robustness_mask(ref, mv, fl, cfg.robustness, bounded=2)[..., :3]
+    )(warped, res_flow)
+    cert = cert.at[0].set(1.0)
+
+    st = smoothed_structure_tensor(gray[0], cfg.st_window)
+    omega_inv = kernel_params(st, cfg.merge)
+
+    num, den = merge_burst_fast(
+        warped, res_flow, cert, omega_inv, cfg.scale, cfg.merge.radius,
+        cfg.residual_bound,
+    )
+    fallback = upsample_int(burst[0], cfg.scale, "bicubic")
     out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
     if cfg.gamma:
         out = srgb_gamma(out)

@@ -43,6 +43,7 @@ def robustness_mask(
     moved: jnp.ndarray,
     flow: jnp.ndarray,
     cfg: RobustnessConfig = RobustnessConfig(),
+    bounded: int = 0,
 ) -> jnp.ndarray:
     """Certainty mask for one alternate frame.
 
@@ -55,8 +56,16 @@ def robustness_mask(
     mean_sq_ref = box_filter(ref * ref, 3, normalize=True)
     std_ref = jnp.sqrt(jnp.maximum(mean_sq_ref - mean_ref * mean_ref, 0.0))
 
-    shift = jnp.round(flow)
-    mean_moved = _gather_shifted(box_filter(moved, 3, normalize=True), shift)
+    if bounded > 0:
+        # gatherless fast path for small (already tile-compensated) flows
+        from multi_frame_super_resolution_tpu.ops.warp_fast import warp_bounded
+
+        mean_moved = warp_bounded(
+            box_filter(moved, 3, normalize=True), jnp.round(flow), bounded
+        )
+    else:
+        shift = jnp.round(flow)
+        mean_moved = _gather_shifted(box_filter(moved, 3, normalize=True), shift)
 
     # local 5x5 flow spread, scaled by the local mean distance
     # (RobustnessModell.cu:105-112)

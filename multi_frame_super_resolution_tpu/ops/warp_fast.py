@@ -1,0 +1,150 @@
+"""Gatherless warp primitives — the TPU fast path.
+
+XLA gathers with per-pixel 2-D indices are the dominant cost of the naive
+pipeline on TPU (SURVEY.md §7 hard-part #1). These primitives reformulate
+every warp the burst pipelines need into operations the VPU executes at
+full rate:
+
+  * integer-factor upsampling -> phase-separated static-shift
+    interpolation (exact bilinear/bicubic, no gather)
+  * bounded-residual warp -> weighted sum over a static shift window with
+    per-pixel weights (exact bilinear for |flow| <= r)
+  * per-tile integer shift warp -> one structured gather (XLA) or the
+    Pallas DMA kernel (pallas_ops/warp.py)
+
+The decomposition flow = per-tile integer shift + bounded residual is
+exact for tile-aligned flows and clamps only the tail of the LK
+refinement (which is small by construction).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Edge-clamped static shift: out[y, x] = img[y+dy, x+dx]."""
+    h, w = img.shape[0], img.shape[1]
+    pad = max(abs(dy), abs(dx), 1)
+    pads = ((pad, pad), (pad, pad)) + ((0, 0),) * (img.ndim - 2)
+    xp = jnp.pad(img, pads, mode="edge")
+    return xp[pad + dy : pad + dy + h, pad + dx : pad + dx + w]
+
+
+def upsample_nearest(img: jnp.ndarray, s: int) -> jnp.ndarray:
+    return jnp.repeat(jnp.repeat(img, s, axis=0), s, axis=1)
+
+
+def _phase_taps_1d(s: int, method: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-output-phase taps for integer-factor upsampling with the
+    pixel-center convention src = (o + 0.5)/s - 0.5.
+
+    Returns (bases (s,), weights (s, K)) with K = 2 (bilinear) or 4
+    (bicubic): out[o] = sum_k w[o%s, k] * img[base[o%s] + o//s + k - off].
+    """
+    phases = (np.arange(s) + 0.5) / s - 0.5
+    base = np.floor(phases).astype(np.int64)
+    frac = phases - base
+    if method == "bilinear":
+        weights = np.stack([1.0 - frac, frac], axis=1)
+        offsets = np.arange(2)
+    elif method == "bicubic":
+        a = -0.75
+
+        def k(x):
+            ax = np.abs(x)
+            w1 = ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0
+            w2 = ((a * ax - 5.0 * a) * ax + 8.0 * a) * ax - 4.0 * a
+            return np.where(ax <= 1.0, w1, np.where(ax < 2.0, w2, 0.0))
+
+        weights = np.stack([k(frac + 1.0), k(frac), k(1.0 - frac), k(2.0 - frac)], axis=1)
+        offsets = np.arange(4) - 1
+    else:
+        raise ValueError(method)
+    return base[:, None] + offsets[None, :], weights.astype(np.float32)
+
+
+def upsample_int(img: jnp.ndarray, s: int, method: str = "bilinear") -> jnp.ndarray:
+    """Integer-factor upsample, numerically identical to
+    resize(img, s*H, s*W, method) but built from static shifts and
+    constant weights (no gather). img: (H, W[, C])."""
+    if s == 1:
+        return img
+    taps, weights = _phase_taps_1d(s, method)  # (s, K)
+    h, w = img.shape[0], img.shape[1]
+    kk = taps.shape[1]
+
+    # rows: out has s phases interleaved along a new axis then reshaped
+    def axis_upsample(x, axis):
+        phases = []
+        for p in range(s):
+            acc = None
+            for k in range(kk):
+                d = int(taps[p, k])
+                shifted = _shift2d(x, d if axis == 0 else 0, d if axis == 1 else 0)
+                term = shifted * weights[p, k]
+                acc = term if acc is None else acc + term
+            phases.append(acc)
+        stacked = jnp.stack(phases, axis=axis + 1)  # (H, s, ...) or (., W, s, .)
+        new_shape = list(x.shape)
+        new_shape[axis] = x.shape[axis] * s
+        return stacked.reshape(new_shape)
+
+    out = axis_upsample(img, 0)
+    return axis_upsample(out, 1)
+
+
+def warp_bounded(img: jnp.ndarray, flow: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """Bilinear backward warp out(x) = img(x + flow(x)) for flows bounded
+    by r pixels (larger flows are clamped to [-r, r]).
+
+    Static (2r+2)^2-tap formulation: each tap is a static shift of the
+    image weighted by per-pixel separable hat weights — pure VPU math.
+    """
+    fy = jnp.clip(flow[..., 0], -r, r)
+    fx = jnp.clip(flow[..., 1], -r, r)
+    if img.ndim == 3:
+        fy = fy[..., None]
+        fx = fx[..., None]
+    out = jnp.zeros_like(img)
+    for dy in range(-r, r + 2):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(fy - dy))
+        row_acc = None
+        for dx in range(-r, r + 2):
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx - dx))
+            term = _shift2d(img, dy, dx) * wx
+            row_acc = term if row_acc is None else row_acc + term
+        out = out + row_acc * wy
+    return out
+
+
+def tile_shift_decompose(
+    tile_shifts: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-tile float shifts -> (integer part (int32), residual float).
+    Residual is in [-0.5, 0.5]."""
+    rounded = jnp.round(tile_shifts)
+    return rounded.astype(jnp.int32), tile_shifts - rounded
+
+
+def tile_warp_int(
+    img: jnp.ndarray, int_shifts: jnp.ndarray, tile_size: int
+) -> jnp.ndarray:
+    """Warp by a per-tile constant integer shift: for every pixel of tile
+    t, out(x) = img(x + s_t), clamped at the borders. int_shifts is
+    (nty, ntx, 2) int32 covering ceil(H/T) x ceil(W/T) tiles.
+
+    XLA formulation: one structured gather (per-pixel indices are
+    base + per-tile constants). The Pallas DMA version
+    (pallas_ops.tile_warp) computes the same function without the gather.
+    """
+    h, w = img.shape[0], img.shape[1]
+    t = tile_size
+    sy = jnp.repeat(jnp.repeat(int_shifts[..., 0], t, axis=0), t, axis=1)[:h, :w]
+    sx = jnp.repeat(jnp.repeat(int_shifts[..., 1], t, axis=0), t, axis=1)[:h, :w]
+    ys = jnp.clip(jnp.arange(h)[:, None] + sy, 0, h - 1)
+    xs = jnp.clip(jnp.arange(w)[None, :] + sx, 0, w - 1)
+    return img[ys, xs]

@@ -62,8 +62,15 @@ def lk_refine(
     ref, moved: (H, W) grayscale; flow0: (H, W, 2) initial flow (dy, dx).
     """
 
+    if cfg.bounded_warp > 0:
+        from multi_frame_super_resolution_tpu.ops.warp_fast import warp_bounded
+
+        warp = lambda img, fl: warp_bounded(img, fl, cfg.bounded_warp)
+    else:
+        warp = warp_backward
+
     def body(_, flow):
-        warped = warp_backward(moved, flow)
+        warped = warp(moved, flow)
         return flow + lk_step(ref, warped, cfg)
 
     return jax.lax.fori_loop(0, cfg.iterations, body, flow0)

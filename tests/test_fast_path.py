@@ -1,0 +1,132 @@
+"""Parity tests: gatherless fast path vs gather-based oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_frame_super_resolution_tpu.config import AlignConfig, HandheldConfig
+from multi_frame_super_resolution_tpu.data import synthetic_burst
+from multi_frame_super_resolution_tpu.models import handheld_superres
+from multi_frame_super_resolution_tpu.models.fast_merge import merge_burst_fast
+from multi_frame_super_resolution_tpu.models.merge import merge_burst_rgb
+from multi_frame_super_resolution_tpu.ops.geometry import resize, translate, warp_backward
+from multi_frame_super_resolution_tpu.ops.warp_fast import (
+    tile_shift_decompose,
+    tile_warp_int,
+    upsample_int,
+    warp_bounded,
+)
+from multi_frame_super_resolution_tpu.utils import psnr
+
+
+def test_upsample_int_matches_resize_bilinear(rng):
+    img = rng.random((16, 24, 3)).astype(np.float32)
+    a = np.asarray(upsample_int(jnp.asarray(img), 2, "bilinear"))
+    b = np.asarray(resize(jnp.asarray(img), 32, 48, "bilinear"))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_upsample_int_matches_resize_bicubic(rng):
+    img = rng.random((16, 24)).astype(np.float32)
+    a = np.asarray(upsample_int(jnp.asarray(img), 2, "bicubic"))
+    b = np.asarray(resize(jnp.asarray(img), 32, 48, "bicubic"))
+    # border rows differ (edge-clamp order); compare interior
+    np.testing.assert_allclose(a[4:-4, 4:-4], b[4:-4, 4:-4], atol=1e-5)
+
+
+def test_upsample_int_scale3(rng):
+    img = rng.random((8, 8)).astype(np.float32)
+    a = np.asarray(upsample_int(jnp.asarray(img), 3, "bilinear"))
+    b = np.asarray(resize(jnp.asarray(img), 24, 24, "bilinear"))
+    np.testing.assert_allclose(a[3:-3, 3:-3], b[3:-3, 3:-3], atol=1e-5)
+
+
+def test_warp_bounded_matches_gather_warp(rng):
+    img = rng.random((24, 24)).astype(np.float32)
+    flow = rng.uniform(-1.5, 1.5, (24, 24, 2)).astype(np.float32)
+    a = np.asarray(warp_bounded(jnp.asarray(img), jnp.asarray(flow), r=2))
+    b = np.asarray(warp_backward(jnp.asarray(img), jnp.asarray(flow)))
+    np.testing.assert_allclose(a[3:-3, 3:-3], b[3:-3, 3:-3], atol=1e-5)
+
+
+def test_tile_warp_int_constant_shift(rng):
+    img = rng.random((32, 32)).astype(np.float32)
+    shifts = np.tile(np.asarray([2, -3], np.int32), (2, 2, 1))
+    out = np.asarray(tile_warp_int(jnp.asarray(img), jnp.asarray(shifts), 16))
+    expect = np.asarray(
+        translate(jnp.asarray(img), 2.0, -3.0, method="nearest")
+    )
+    np.testing.assert_allclose(out, expect)
+
+
+def test_tile_warp_int_per_tile(rng):
+    img = rng.random((32, 32)).astype(np.float32)
+    shifts = np.zeros((2, 2, 2), np.int32)
+    shifts[0, 0] = (1, 0)
+    shifts[1, 1] = (0, -2)
+    out = np.asarray(tile_warp_int(jnp.asarray(img), jnp.asarray(shifts), 16))
+    # tile (0,0): shifted down-read by 1
+    np.testing.assert_allclose(out[:15, :16], img[1:16, :16])
+    # tile (0,1): identity
+    np.testing.assert_allclose(out[:16, 16:], img[:16, 16:])
+    # tile (1,1): x-shift -2 (clamped at x=16,17 -> reads img[:, 14:])
+    np.testing.assert_allclose(out[16:, 18:], img[16:, 16:30])
+
+
+def test_tile_shift_decompose():
+    shifts = jnp.asarray([[[1.4, -2.6]]])
+    ints, res = tile_shift_decompose(shifts)
+    np.testing.assert_allclose(np.asarray(ints), [[[1, -3]]])
+    np.testing.assert_allclose(np.asarray(res), [[[0.4, 0.4]]], atol=1e-6)
+    assert np.abs(np.asarray(res)).max() <= 0.5 + 1e-6
+
+
+def test_merge_fast_matches_oracle_constant_flow(rng):
+    """With a constant bounded flow both merges sample the same taps;
+    outputs must agree in the interior."""
+    img = rng.random((16, 16, 3)).astype(np.float32)
+    burst = jnp.asarray(np.stack([img] * 3))
+    flow_val = np.asarray([0.3, -0.2], np.float32)
+    flows = jnp.broadcast_to(flow_val, (3, 16, 16, 2))
+    cert = jnp.ones((3, 16, 16, 3))
+    omega = jnp.tile(jnp.asarray([4.0, 4.0, 0.0]), (16, 16, 1))
+
+    num_o, den_o = merge_burst_rgb(burst, flows, cert, omega, scale=2, radius=2)
+    num_f, den_f = merge_burst_fast(
+        burst, flows, cert, omega, scale=2, radius=2, residual_bound=1.0
+    )
+    out_o = np.asarray(num_o / den_o)
+    out_f = np.asarray(num_f / den_f)
+    p = float(psnr(jnp.asarray(out_o[8:-8, 8:-8]), jnp.asarray(out_f[8:-8, 8:-8])))
+    assert p > 40.0, p
+
+
+def test_handheld_fast_quality(rng):
+    burst, _ = synthetic_burst(rng, num_frames=4, height=64, width=64, max_shift=2.0)
+    rgb = jnp.asarray(np.stack([burst] * 3, axis=-1))
+    cfg = HandheldConfig(
+        align=AlignConfig(tile_size=16, search_radius=4, levels=2), fast=True
+    )
+    out = jax.jit(lambda b: handheld_superres(b, cfg))(rgb)
+    assert out.shape == (128, 128, 3)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    from multi_frame_super_resolution_tpu.ops.geometry import downsample2
+
+    down = np.asarray(downsample2(jnp.asarray(out)))
+    p = float(psnr(jnp.asarray(rgb[0]), jnp.asarray(down)))
+    assert p > 25.0, p
+
+
+def test_handheld_fast_close_to_oracle(rng):
+    burst, _ = synthetic_burst(rng, num_frames=3, height=64, width=64, max_shift=2.0)
+    rgb = jnp.asarray(np.stack([burst] * 3, axis=-1))
+    align = AlignConfig(tile_size=16, search_radius=4, levels=2)
+    fast = jax.jit(
+        lambda b: handheld_superres(b, HandheldConfig(align=align, fast=True))
+    )(rgb)
+    slow = jax.jit(
+        lambda b: handheld_superres(b, HandheldConfig(align=align, fast=False))
+    )(rgb)
+    p = float(psnr(slow[8:-8, 8:-8], fast[8:-8, 8:-8]))
+    assert p > 25.0, p

@@ -50,8 +50,8 @@ class AlignConfig:
 class LKConfig:
     """Dense Lucas-Kanade refinement (opticalFlow.cu:189-325)."""
 
-    half_window: int = 4         # halfWindowSize: window is (2h+1)^2
-    iterations: int = 3          # warp-and-refine outer iterations
+    half_window: int = 8         # halfWindowSize: window is (2h+1)^2
+    iterations: int = 2          # warp-and-refine outer iterations
     min_sigma: float = 1e-4      # minDet: minimum singular value gate
     # >0: warp with the gatherless bounded-residual scheme (flows clamped
     # to +-bounded_warp px) instead of the general gather warp
@@ -77,10 +77,16 @@ class MergeConfig:
 
     k_detail: float = 0.25
     k_denoise: float = 3.0
-    k_stretch: float = 4.0
+    k_stretch: float = 2.0
     k_shrink: float = 2.0
     d_th: float = 0.001
     d_tr: float = 0.006
+    # merge-kernel variance clamps in output-pixel^2 units: k_min bounds
+    # the kernel below (sample density floor — narrower kernels leave
+    # coverage holes that collapse to the fallback), k_max bounds the
+    # along-edge smearing above
+    k_min: float = 0.25
+    k_max: float = 1.0
     # ApplyWeighting: where accumulated weight < threshold, blend in the
     # fallback (reference/demosaiced) image (kernel.cu:425-481).
     weight_threshold: float = 1e-2

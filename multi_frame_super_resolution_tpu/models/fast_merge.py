@@ -77,9 +77,11 @@ def merge_burst_fast(
         base_dy = -(phi_y + res_y_up)
         base_dx = -(phi_x + res_x_up)
         for ky in range(-r_taps, r_taps + 1):
-            dy = base_dy + ky
+            # displacements in OUTPUT-grid units (matching models.merge and
+            # the reference's output-pixel tap offsets)
+            dy = (base_dy + ky) * s
             for kx in range(-r_taps, r_taps + 1):
-                dx = base_dx + kx
+                dx = (base_dx + kx) * s
                 wgt = jnp.exp(
                     -0.5 * (dx * dx * oxx + dy * dy * oyy + 2.0 * dx * dy * oxy)
                 )

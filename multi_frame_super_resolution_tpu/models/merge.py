@@ -60,6 +60,11 @@ def kernel_params(
     k2h = cfg.k_detail / cfg.k_shrink * a
     k1 = ((1.0 - d) * k1h + d * cfg.k_detail * cfg.k_denoise) ** 2
     k2 = ((1.0 - d) * k2h + d * cfg.k_detail * cfg.k_denoise) ** 2
+    # variance clamps (see MergeConfig.k_min/k_max): keep the kernel wide
+    # enough that 3-8 frames cover the output grid, narrow enough not to
+    # smear along edges
+    k1 = jnp.clip(k1, cfg.k_min, cfg.k_max)
+    k2 = jnp.clip(k2, cfg.k_min, cfg.k_max)
 
     x2, y2 = c, s
     x1, y1 = s, -c
@@ -124,8 +129,13 @@ def merge_burst_rgb(
             for ox in range(-radius, radius + 1):
                 ry = ny + oy
                 rx = nx + ox
+                # displacements in OUTPUT-grid units, as in
+                # accumulateImagesSuperRes (its tap offsets are output
+                # pixel steps, DeBayerKernels.cu:410-427)
                 wgt = _tap_weight(
-                    ry.astype(jnp.float32) - qy, rx.astype(jnp.float32) - qx, omega_out
+                    (ry.astype(jnp.float32) - qy) * scale,
+                    (rx.astype(jnp.float32) - qx) * scale,
+                    omega_out,
                 )
                 vals = _gather2(frame, ry, rx)
                 cert_s = _gather2(cert, ry, rx)
@@ -182,7 +192,9 @@ def merge_burst_raw(
                 ry = jnp.clip(ny + oy, 0, h - 1)
                 rx = jnp.clip(nx + ox, 0, w - 1)
                 wgt = _tap_weight(
-                    ry.astype(jnp.float32) - qy, rx.astype(jnp.float32) - qx, omega_out
+                    (ry.astype(jnp.float32) - qy) * scale,
+                    (rx.astype(jnp.float32) - qx) * scale,
+                    omega_out,
                 )
                 vals = raw[ry, rx]
                 ch = chan[ry, rx]  # CFA channel of each sample

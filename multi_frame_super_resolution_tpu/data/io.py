@@ -19,7 +19,13 @@ PathLike = Union[str, os.PathLike]
 
 
 def imread(path: PathLike) -> np.ndarray:
-    """Read an image as float32 RGB (HWC) in [0, 1]."""
+    """Read an image as float32 RGB (HWC) in [0, 1]. Uses the native C++
+    decoder (libpng/libjpeg, data/native.py) when built, PIL otherwise."""
+    from multi_frame_super_resolution_tpu.data import native
+
+    out = native.imread_native(os.fspath(path))
+    if out is not None:
+        return out
     with Image.open(path) as im:
         im = im.convert("RGB")
         arr = np.asarray(im, dtype=np.float32) / 255.0
@@ -28,6 +34,11 @@ def imread(path: PathLike) -> np.ndarray:
 
 def imread_gray(path: PathLike) -> np.ndarray:
     """Read an image as float32 grayscale (HW) in [0, 1]."""
+    from multi_frame_super_resolution_tpu.data import native
+
+    out = native.imread_native(os.fspath(path), gray=True)
+    if out is not None:
+        return out
     with Image.open(path) as im:
         im = im.convert("L")
         arr = np.asarray(im, dtype=np.float32) / 255.0

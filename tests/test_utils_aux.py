@@ -1,0 +1,66 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_frame_super_resolution_tpu.utils.debug import (
+    check_finite,
+    debug_nans,
+    dump_intermediates,
+    guard_finite,
+)
+
+
+def test_dump_intermediates(tmp_path):
+    p = dump_intermediates(
+        str(tmp_path / "dbg.npz"), a=jnp.ones((2, 2)), b=np.zeros(3)
+    )
+    data = np.load(p)
+    assert set(data.files) == {"a", "b"}
+    np.testing.assert_allclose(data["a"], 1.0)
+
+
+def test_check_finite_reports():
+    rep = check_finite("x", jnp.asarray([1.0, np.nan, 3.0]))
+    assert rep["finite_frac"] == pytest.approx(2 / 3)
+    assert rep["min"] == 1.0 and rep["max"] == 3.0
+
+
+def test_guard_finite_scrubs():
+    out = np.asarray(guard_finite(jnp.asarray([np.nan, 2.0])))
+    np.testing.assert_allclose(out, [0.0, 2.0])
+
+
+def test_debug_nans_context():
+    import jax
+
+    with debug_nans(True):
+        assert jax.config.jax_debug_nans
+        with pytest.raises(FloatingPointError):
+            jnp.log(jnp.asarray(-1.0)) * 1.0
+    assert not jax.config.jax_debug_nans
+
+
+def test_getimg_cli(tmp_path, rng, monkeypatch):
+    from multi_frame_super_resolution_tpu.apps.getimg import main
+    from multi_frame_super_resolution_tpu.data import imwrite
+
+    src = tmp_path / "big.png"
+    imwrite(src, rng.random((96, 96, 3)).astype(np.float32))
+    monkeypatch.chdir(tmp_path)
+    assert main([str(src), "2", "--size", "64", "--burst", "2", "--out", "patches"]) == 0
+    files = sorted(os.listdir(tmp_path / "patches"))
+    assert "subimg0000.png" in files
+    assert "subimg0000_gray.png" in files
+    assert "subimg0000_burst00.png" in files
+    assert len([f for f in files if "burst" in f]) == 4
+
+
+def test_getimg_too_small(tmp_path, rng):
+    from multi_frame_super_resolution_tpu.apps.getimg import main
+    from multi_frame_super_resolution_tpu.data import imwrite
+
+    src = tmp_path / "small.png"
+    imwrite(src, rng.random((16, 16, 3)).astype(np.float32))
+    assert main([str(src), "1", "--size", "64"]) == -1

@@ -126,6 +126,9 @@ class BTVConfig:
     btv_kernel_size: int = 7     # BTV window
     blur_sigma: float = 0.0      # 0 => box-like blur of size `scale`
     optical_flow: str = "pyrlk"  # farneback | tvl1 | brox | pyrlk
+    fast: bool = True            # gatherless decomposed warps (TPU path)
+    warp_tile: int = 16          # tile size of the flow decomposition
+    warp_residual_bound: int = 2 # residual clamp of the decomposed warp
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,11 +56,26 @@ def _block_mean_adjoint(r: jnp.ndarray, s: int) -> jnp.ndarray:
     return rep / (s * s)
 
 
+def _warp(x: jnp.ndarray, hr_flow: jnp.ndarray, cfg: BTVConfig) -> jnp.ndarray:
+    """Backward warp; the fast path decomposes the flow into per-tile
+    integer shifts + bounded residual so no per-pixel gather is emitted
+    (ops/warp_fast.py)."""
+    if not cfg.fast:
+        return warp_backward(x, hr_flow)
+    from multi_frame_super_resolution_tpu.ops.warp_fast import (
+        decompose_flow,
+        warp_decomposed,
+    )
+
+    tile_int, residual = decompose_flow(hr_flow, cfg.warp_tile)
+    return warp_decomposed(x, tile_int, residual, cfg.warp_tile, cfg.warp_residual_bound)
+
+
 def _degrade(x_hr: jnp.ndarray, hr_flow: jnp.ndarray, cfg: BTVConfig) -> jnp.ndarray:
     """A x = decimate(blur(warp(x))) onto frame-k's low-res grid. The
     decimation is a block mean, which keeps the HR/LR pixel grids
     center-aligned (matching the resize/downsample conventions of ops/)."""
-    warped = warp_backward(x_hr, hr_flow)
+    warped = _warp(x_hr, hr_flow, cfg)
     blurred = _blur(warped, cfg)
     return _block_mean(blurred, cfg.scale)
 
@@ -71,7 +86,7 @@ def _degrade_adjoint(r_lr: jnp.ndarray, hr_flow_inv: jnp.ndarray, cfg: BTVConfig
     implementations)."""
     up = _block_mean_adjoint(r_lr, cfg.scale)
     blurred = _blur(up, cfg)
-    return warp_backward(blurred, hr_flow_inv)
+    return _warp(blurred, hr_flow_inv, cfg)
 
 
 def _btv_gradient(x: jnp.ndarray, cfg: BTVConfig) -> jnp.ndarray:

@@ -130,6 +130,47 @@ def tile_shift_decompose(
     return rounded.astype(jnp.int32), tile_shifts - rounded
 
 
+def decompose_flow(
+    flow: jnp.ndarray, tile_size: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split a dense flow field (H, W, 2) into a per-tile integer part
+    (the rounded tile mean, (nty, ntx, 2) int32) and the per-pixel
+    residual (H, W, 2). warp(flow) == tile_warp_int(int) then
+    warp(residual) up to border effects; the residual stays small wherever
+    the flow is smooth at tile scale."""
+    h, w = flow.shape[:2]
+    t = tile_size
+    nty, ntx = -(-h // t), -(-w // t)
+    pad_h, pad_w = nty * t - h, ntx * t - w
+    f = jnp.pad(flow, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+    tile_mean = f.reshape(nty, t, ntx, t, 2).mean(axis=(1, 3))
+    tile_int = jnp.round(tile_mean).astype(jnp.int32)
+    lifted = jnp.repeat(jnp.repeat(tile_int.astype(flow.dtype), t, 0), t, 1)[:h, :w]
+    return tile_int, flow - lifted
+
+
+def warp_decomposed(
+    img: jnp.ndarray,
+    tile_int: jnp.ndarray,
+    residual: jnp.ndarray,
+    tile_size: int,
+    residual_bound: int = 2,
+) -> jnp.ndarray:
+    """Gatherless approximation of warp_backward(img, flow) for
+    flow = tile_int (per tile) + residual: integer tile warp followed by
+    the bounded-residual bilinear warp. Exact when |residual| <=
+    residual_bound away from tile boundaries."""
+    shifted = (
+        tile_warp_int(img, tile_int, tile_size)
+        if img.ndim == 2
+        else jnp.stack(
+            [tile_warp_int(img[..., c], tile_int, tile_size) for c in range(img.shape[-1])],
+            axis=-1,
+        )
+    )
+    return warp_bounded(shifted, residual, residual_bound)
+
+
 def tile_warp_int(
     img: jnp.ndarray, int_shifts: jnp.ndarray, tile_size: int
 ) -> jnp.ndarray:

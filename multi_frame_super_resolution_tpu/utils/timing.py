@@ -22,10 +22,19 @@ class BenchmarkResult:
     seconds: float            # total timed wall clock
     iters: int
     pixels_per_iter: float = 0.0
+    iter_times: Optional[list] = None  # per-iteration seconds
 
     @property
     def sec_per_iter(self) -> float:
         return self.seconds / max(self.iters, 1)
+
+    @property
+    def p50(self) -> float:
+        """Median per-iteration latency in seconds."""
+        if not self.iter_times:
+            return self.sec_per_iter
+        times = sorted(self.iter_times)
+        return times[len(times) // 2]
 
     @property
     def fps(self) -> float:
@@ -73,13 +82,17 @@ def measure(
     # fence EVERY iteration: blocking only on the final result is not
     # reliable on remote-execution backends (observed returning before
     # predecessors completed), and honest throughput is the point
+    iter_times = []
     start = time.perf_counter()
     for _ in range(iters):
+        t0 = time.perf_counter()
         out = fn()
         jax.block_until_ready(out)
+        iter_times.append(time.perf_counter() - t0)
     seconds = time.perf_counter() - start
     return BenchmarkResult(
-        name=name, seconds=seconds, iters=iters, pixels_per_iter=pixels_per_iter
+        name=name, seconds=seconds, iters=iters,
+        pixels_per_iter=pixels_per_iter, iter_times=iter_times,
     )
 
 

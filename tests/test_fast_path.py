@@ -130,3 +130,50 @@ def test_handheld_fast_close_to_oracle(rng):
     )(rgb)
     p = float(psnr(slow[8:-8, 8:-8], fast[8:-8, 8:-8]))
     assert p > 25.0, p
+
+
+def test_decompose_flow_roundtrip(rng):
+    from multi_frame_super_resolution_tpu.ops.warp_fast import decompose_flow
+
+    # smooth flow: tile mean + small residual reconstructs exactly
+    base = np.asarray([3.2, -5.7], np.float32)
+    wobble = rng.uniform(-0.4, 0.4, (32, 32, 2)).astype(np.float32)
+    flow = jnp.asarray(base + wobble)
+    tile_int, res = decompose_flow(flow, 16)
+    assert tile_int.dtype == jnp.int32
+    lifted = np.repeat(np.repeat(np.asarray(tile_int), 16, 0), 16, 1)
+    np.testing.assert_allclose(lifted + np.asarray(res), np.asarray(flow), atol=1e-6)
+    assert np.abs(np.asarray(res)).max() < 1.0
+
+
+def test_warp_decomposed_matches_gather(rng):
+    from multi_frame_super_resolution_tpu.ops.warp_fast import (
+        decompose_flow,
+        warp_decomposed,
+    )
+
+    img = jnp.asarray(rng.random((64, 64)).astype(np.float32))
+    flow = jnp.asarray(
+        np.asarray([2.3, -1.6], np.float32)
+        + rng.uniform(-0.5, 0.5, (64, 64, 2)).astype(np.float32)
+    )
+    tile_int, res = decompose_flow(flow, 16)
+    a = np.asarray(warp_decomposed(img, tile_int, res, 16, 2))
+    b = np.asarray(warp_backward(img, flow))
+    np.testing.assert_allclose(a[8:-8, 8:-8], b[8:-8, 8:-8], atol=1e-5)
+
+
+def test_btvl1_fast_matches_slow(rng):
+    from multi_frame_super_resolution_tpu.config import BTVConfig
+    from multi_frame_super_resolution_tpu.models import btvl1_superres
+
+    burst, _ = synthetic_burst(rng, num_frames=3, height=32, width=32, max_shift=1.5)
+    b = jnp.asarray(burst)
+    fast = jax.jit(
+        lambda x: btvl1_superres(x, 0, BTVConfig(iterations=5, fast=True))
+    )(b)
+    slow = jax.jit(
+        lambda x: btvl1_superres(x, 0, BTVConfig(iterations=5, fast=False))
+    )(b)
+    p = float(psnr(slow[4:-4, 4:-4], fast[4:-4, 4:-4]))
+    assert p > 35.0, p

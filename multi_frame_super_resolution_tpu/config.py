@@ -44,6 +44,9 @@ class AlignConfig:
     # (kernel.cu:629-633). Expressed relative to tile energy.
     peak_threshold: float = 0.0
     subpixel: bool = True        # 3x3 quadratic interpolation of the SSD argmin
+    # extract search windows with the Pallas DMA kernel instead of an XLA
+    # gather (TPU-only; leave False on CPU backends)
+    use_pallas: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

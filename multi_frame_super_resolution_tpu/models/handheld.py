@@ -117,10 +117,23 @@ def _handheld_fast(burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
     tile_shifts = align_burst(gray, cfg.align)
     int_shifts, res_tiles = tile_shift_decompose(tile_shifts)
 
-    # integer tile warp into reference geometry (per frame, per channel)
+    # integer tile warp into reference geometry (per frame, per channel);
+    # the Pallas DMA kernel when enabled and tile-aligned, XLA gather
+    # otherwise
+    if cfg.align.use_pallas and h % t == 0 and w % t == 0:
+        from multi_frame_super_resolution_tpu.pallas_ops.tile_warp import (
+            tile_warp_pallas,
+        )
+
+        def warp_chan(chan, ints):
+            return tile_warp_pallas(chan, ints, t)
+    else:
+        def warp_chan(chan, ints):
+            return tile_warp_int(chan, ints, t)
+
     def warp_frame(frame, ints):
         return jnp.stack(
-            [tile_warp_int(frame[..., c], ints, t) for c in range(frame.shape[-1])],
+            [warp_chan(frame[..., c], ints) for c in range(frame.shape[-1])],
             axis=-1,
         )
 

@@ -60,7 +60,18 @@ def align_pair(
         # found by the search is relative to the rounded prediction
         rounded = jnp.round(total)
         ref_tiles = extract_ref_tiles(r, cfg.tile_size)
-        windows = extract_search_windows(a, cfg.tile_size, cfg.search_radius, rounded)
+        if cfg.use_pallas:
+            from multi_frame_super_resolution_tpu.pallas_ops.tile_gather import (
+                tile_gather_pallas,
+            )
+
+            windows = tile_gather_pallas(
+                a, rounded.astype(jnp.int32), cfg.tile_size, cfg.search_radius
+            )
+        else:
+            windows = extract_search_windows(
+                a, cfg.tile_size, cfg.search_radius, rounded
+            )
         ssd = ssd_surface(ref_tiles, windows, cfg.search_radius)
         found = find_min_shift(ssd, cfg.search_radius, cfg.peak_threshold, cfg.subpixel)
         total = rounded + found

@@ -57,3 +57,27 @@ def test_defog_pallas_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(a), a_o, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(t), t_o, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(r), r_o, rtol=1e-5, atol=1e-6)
+
+
+def test_tile_gather_pallas_matches_search_windows(rng):
+    from multi_frame_super_resolution_tpu.pallas_ops.tile_gather import (
+        tile_gather_pallas,
+    )
+    from multi_frame_super_resolution_tpu.registration.tiles import (
+        extract_search_windows,
+    )
+
+    img = rng.random((64, 96)).astype(np.float32)
+    shifts = rng.integers(-3, 4, (4, 6, 2)).astype(np.int32)
+    got = np.asarray(
+        tile_gather_pallas(jnp.asarray(img), jnp.asarray(shifts), 16, 4,
+                           interpret=True)
+    )
+    expect = np.asarray(
+        extract_search_windows(
+            jnp.asarray(img), 16, 4, jnp.asarray(shifts, jnp.float32)
+        )
+    )
+    assert got.shape == expect.shape == (4, 6, 24, 24)
+    # interior tiles (no border clamping in play) must match exactly
+    np.testing.assert_allclose(got[1:-1, 1:-1], expect[1:-1, 1:-1])

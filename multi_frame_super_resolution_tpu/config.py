@@ -47,6 +47,11 @@ class AlignConfig:
     # extract search windows with the Pallas DMA kernel instead of an XLA
     # gather (TPU-only; leave False on CPU backends)
     use_pallas: bool = False
+    # gatherless window extraction (tile-warp + static block assembly);
+    # halo semantics differ slightly from the reference at tile borders
+    # (see tiles.extract_search_windows_fast) but no data-dependent gather
+    # is emitted — much faster on TPU. Requires search_radius <= tile/2.
+    fast_extract: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,45 +56,52 @@ def merge_burst_fast(
     sh, sw = h * s, w * s
     r_taps = radius + int(np.ceil(residual_bound))
 
-    # per-output-pixel fractional offset from its nearest input sample
-    phi = jnp.asarray(_output_phase_offsets(s))
-    phi_y = jnp.broadcast_to(phi[jnp.arange(sh) % s][:, None], (sh, sw))
-    phi_x = jnp.broadcast_to(phi[jnp.arange(sw) % s][None, :], (sh, sw))
+    # PHASE-SEPARATED accumulation: every output pixel of phase (py, px)
+    # shares its nearest input sample with its block, so all tap math runs
+    # at INPUT resolution (s^2 phase accumulators) and the s-x output is
+    # assembled once at the end — ~s^2 less memory traffic than computing
+    # at output resolution.
+    phi = _output_phase_offsets(s)  # (s,) fractional offsets, static
 
-    omega_up = upsample_nearest(omega_inv, s)
-    oxx = omega_up[..., 0]
-    oyy = omega_up[..., 1]
-    oxy = omega_up[..., 2]
+    oxx = omega_inv[..., 0]
+    oyy = omega_inv[..., 1]
+    oxy = omega_inv[..., 2]
 
     def accumulate_frame(carry, frame_data):
-        num, den = carry
+        num, den = carry  # (s, s, H, W, 3) phase accumulators
         img, res, cert = frame_data
         res_y = jnp.clip(res[..., 0], -residual_bound, residual_bound)
         res_x = jnp.clip(res[..., 1], -residual_bound, residual_bound)
-        res_y_up = upsample_nearest(res_y, s)
-        res_x_up = upsample_nearest(res_x, s)
-        # q = p + res; displacement of tap k from q: d = k - phi - res
-        base_dy = -(phi_y + res_y_up)
-        base_dx = -(phi_x + res_x_up)
         for ky in range(-r_taps, r_taps + 1):
-            # displacements in OUTPUT-grid units (matching models.merge and
-            # the reference's output-pixel tap offsets)
-            dy = (base_dy + ky) * s
             for kx in range(-r_taps, r_taps + 1):
-                dx = (base_dx + kx) * s
-                wgt = jnp.exp(
-                    -0.5 * (dx * dx * oxx + dy * dy * oyy + 2.0 * dx * dy * oxy)
-                )
-                val = upsample_nearest(_shift2d(img, ky, kx), s)
-                cert_k = upsample_nearest(_shift2d(cert, ky, kx), s)
-                cw = wgt[..., None] * cert_k
-                num = num + val * cw
-                den = den + cw
+                val = _shift2d(img, ky, kx)
+                cert_k = _shift2d(cert, ky, kx)
+                # displacement (output-grid units) per phase: the phase
+                # part is a static scalar, so the quadratic form expands
+                # around the shared per-pixel residual terms
+                dy0 = (ky - res_y) * s
+                dx0 = (kx - res_x) * s
+                for py in range(s):
+                    dy = dy0 - phi[py] * s
+                    for px in range(s):
+                        dx = dx0 - phi[px] * s
+                        wgt = jnp.exp(
+                            -0.5
+                            * (dx * dx * oxx + dy * dy * oyy + 2.0 * dx * dy * oxy)
+                        )
+                        cw = wgt[..., None] * cert_k
+                        num = num.at[py, px].add(val * cw)
+                        den = den.at[py, px].add(cw)
         return (num, den), None
 
-    num0 = jnp.zeros((sh, sw, 3), jnp.float32)
-    den0 = jnp.zeros((sh, sw, 3), jnp.float32)
+    num0 = jnp.zeros((s, s, h, w, 3), jnp.float32)
+    den0 = jnp.zeros((s, s, h, w, 3), jnp.float32)
     (num, den), _ = jax.lax.scan(
         accumulate_frame, (num0, den0), (warped, residual, certainty)
     )
-    return num, den
+
+    # interleave phases: (s, s, H, W, 3) -> (sH, sW, 3)
+    def interleave(acc):
+        return acc.transpose(2, 0, 3, 1, 4).reshape(sh, sw, 3)
+
+    return interleave(num), interleave(den)

@@ -117,27 +117,30 @@ def _handheld_fast(burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
     tile_shifts = align_burst(gray, cfg.align)
     int_shifts, res_tiles = tile_shift_decompose(tile_shifts)
 
-    # integer tile warp into reference geometry (per frame, per channel);
-    # the Pallas DMA kernel when enabled and tile-aligned, XLA gather
-    # otherwise
+    # integer tile warp into reference geometry; frames x channels go
+    # through the Pallas DMA kernel as one stacked call when enabled and
+    # tile-aligned, an XLA structured gather otherwise
+    c = burst.shape[-1]
     if cfg.align.use_pallas and h % t == 0 and w % t == 0:
         from multi_frame_super_resolution_tpu.pallas_ops.tile_warp import (
             tile_warp_pallas,
         )
 
-        def warp_chan(chan, ints):
-            return tile_warp_pallas(chan, ints, t)
-    else:
-        def warp_chan(chan, ints):
-            return tile_warp_int(chan, ints, t)
-
-    def warp_frame(frame, ints):
-        return jnp.stack(
-            [warp_chan(frame[..., c], ints) for c in range(frame.shape[-1])],
-            axis=-1,
+        stack = burst.transpose(0, 3, 1, 2).reshape(f * c, h, w)
+        ints_rep = jnp.repeat(int_shifts, c, axis=0)
+        warped = (
+            tile_warp_pallas(stack, ints_rep, t)
+            .reshape(f, c, h, w)
+            .transpose(0, 2, 3, 1)
         )
+    else:
+        def warp_frame(frame, ints):
+            return jnp.stack(
+                [tile_warp_int(frame[..., ch], ints, t) for ch in range(c)],
+                axis=-1,
+            )
 
-    warped = jax.vmap(warp_frame)(burst, int_shifts)
+        warped = jax.vmap(warp_frame)(burst, int_shifts)
     warped = warped.at[0].set(burst[0])
 
     # residual subpixel flow, piecewise constant per tile

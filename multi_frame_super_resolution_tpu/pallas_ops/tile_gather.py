@@ -1,11 +1,13 @@
 """Pallas tile-block gather: per-tile shifted blocks with halo via DMA.
 
-Generalizes pallas_ops.tile_warp: for each alignment tile, DMA the block
-``img[tile_origin + shift - pad : ... + tile + pad]`` into its own output
-slot. With pad = search_radius this is the TPU-native
-convertToTilesOverlapPreShift (kernel.cu:323-378) — the search-window
-extraction of the alignment stage — executed entirely by the DMA engine
-with scalar-prefetched per-tile shifts (no XLA gather).
+The TPU-native convertToTilesOverlapPreShift (kernel.cu:323-378): for
+each alignment tile, DMA the block ``img[tile_origin + shift - pad ...]``
+(halo pad = search radius) into its own output slot, with per-tile shifts
+scalar-prefetched — no XLA gather.
+
+Layout: one grid step per (image, tile-row); the output row block is
+(block, ntx*block) so the VMEM block is lane-aligned; the result is
+reshaped to (..., nty, ntx, block, block) outside.
 """
 
 from __future__ import annotations
@@ -16,66 +18,74 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _tile_gather_kernel(sy_ref, sx_ref, img_ref, out_ref, sem):
-    ty = pl.program_id(0)
-    tx = pl.program_id(1)
-    block = out_ref.shape[-2]
-    h = img_ref.shape[0]
-    w = img_ref.shape[1]
+def _make_kernel(block: int, ntx: int):
+    def kernel(oy_ref, ox_ref, img_ref, out_ref, sems):
+        n = pl.program_id(0)
+        ty = pl.program_id(1)
+        h = img_ref.shape[1]
+        w = img_ref.shape[2]
 
-    # sy/sx hold precomputed absolute block origins; clamp them in bounds
-    y0 = sy_ref[ty, tx]
-    x0 = sx_ref[ty, tx]
-    y0 = jnp.clip(y0, 0, h - block)
-    x0 = jnp.clip(x0, 0, w - block)
+        copies = []
+        for tx in range(ntx):
+            y0 = jnp.clip(oy_ref[n, ty, tx], 0, h - block)
+            x0 = jnp.clip(ox_ref[n, ty, tx], 0, w - block)
+            copy = pltpu.make_async_copy(
+                img_ref.at[n, pl.ds(y0, block), pl.ds(x0, block)],
+                out_ref.at[0, 0, :, pl.ds(tx * block, block)],
+                sems.at[tx],
+            )
+            copy.start()
+            copies.append(copy)
+        for copy in copies:
+            copy.wait()
 
-    copy = pltpu.make_async_copy(
-        img_ref.at[pl.ds(y0, block), pl.ds(x0, block)],
-        out_ref.at[0, 0],
-        sem,
-    )
-    copy.start()
-    copy.wait()
+    return kernel
 
 
 def tile_gather_pallas(
-    img: jnp.ndarray,
+    imgs: jnp.ndarray,
     int_shifts: jnp.ndarray,
     tile_size: int,
     pad: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(H, W) image -> (nty, ntx, T+2p, T+2p) shifted blocks.
+    """(N, H, W) images -> (N, nty, ntx, T+2p, T+2p) shifted blocks.
 
-    Block (ty, tx) covers img[ty*T - p + sy : ... + T + p][...] with the
-    block origin clamped in bounds (border tiles replicate interior rows
-    like the reference's clamped reads, approximated at block granularity).
+    Block (n, ty, tx) covers imgs[n, ty*T - p + sy : ... + T + p, ...]
+    with the block origin clamped in bounds (border tiles replicate
+    interior rows like the reference's clamped reads, approximated at
+    block granularity). int_shifts: (N, nty, ntx, 2) int32.
     """
-    h, w = img.shape
+    single = imgs.ndim == 2
+    if single:
+        imgs = imgs[None]
+        int_shifts = int_shifts[None]
+    n, h, w = imgs.shape
     t = tile_size
     nty, ntx = -(-h // t), -(-w // t)
     block = t + 2 * pad
     if h < block or w < block:
         raise ValueError("image smaller than one padded block")
 
-    # absolute block origins, precomputed on host-side math (traced)
-    oy = jnp.arange(nty, dtype=jnp.int32)[:, None] * t - pad + int_shifts[..., 0]
-    ox = jnp.arange(ntx, dtype=jnp.int32)[None, :] * t - pad + int_shifts[..., 1]
+    oy = jnp.arange(nty, dtype=jnp.int32)[None, :, None] * t - pad + int_shifts[..., 0]
+    ox = jnp.arange(ntx, dtype=jnp.int32)[None, None, :] * t - pad + int_shifts[..., 1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nty, ntx),
+        grid=(n, nty),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 1, block, block),
-            lambda ty, tx, sy, sx: (ty, tx, 0, 0),
+            (1, 1, block, ntx * block),
+            lambda ni, ty, oy, ox: (ni, ty, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((ntx,))],
     )
-    return pl.pallas_call(
-        _tile_gather_kernel,
-        out_shape=jax.ShapeDtypeStruct((nty, ntx, block, block), img.dtype),
+    out = pl.pallas_call(
+        _make_kernel(block, ntx),
+        out_shape=jax.ShapeDtypeStruct((n, nty, block, ntx * block), imgs.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(oy.astype(jnp.int32), ox.astype(jnp.int32), img)
+    )(oy.astype(jnp.int32), ox.astype(jnp.int32), imgs)
+    out = out.reshape(n, nty, block, ntx, block).transpose(0, 1, 3, 2, 4)
+    return out[0] if single else out

@@ -1,12 +1,15 @@
 """Pallas tile-warp kernel: per-tile integer shifts via DMA.
 
 The TPU-native replacement for the reference's texture-sampled warps
-(WarpingKernel, opticalFlow.cu:27-44; convertToTilesOverlapPreShift,
-kernel.cu:323-378): instead of per-pixel gathers, each grid step DMAs the
-shifted tile block straight out of HBM — the DMA engine handles arbitrary
-base offsets at full bandwidth — with the per-tile shifts delivered
-through scalar prefetch so the addresses are known before the kernel body
-runs.
+(WarpingKernel, opticalFlow.cu:27-44): instead of per-pixel gathers, the
+kernel DMAs each shifted tile block straight out of HBM — the DMA engine
+handles arbitrary base offsets at full bandwidth — with per-tile shifts
+delivered through scalar prefetch.
+
+Layout: one grid step per (image, tile-row); the output block is a full
+tile row (t, W) so the VMEM block is lane-aligned (Mosaic requires the
+trailing dims divisible by (8, 128) or full-size). The ntx tile DMAs of a
+row are all started before any is awaited, so they overlap.
 """
 
 from __future__ import annotations
@@ -17,41 +20,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _tile_warp_kernel(sy_ref, sx_ref, img_ref, out_ref, sem):
-    ty = pl.program_id(0)
-    tx = pl.program_id(1)
-    t_h = out_ref.shape[0]
-    t_w = out_ref.shape[1]
-    h = img_ref.shape[0]
-    w = img_ref.shape[1]
+def _make_kernel(t: int, ntx: int):
+    def kernel(sy_ref, sx_ref, img_ref, out_ref, sems):
+        n = pl.program_id(0)
+        ty = pl.program_id(1)
+        h = img_ref.shape[1]
+        w = img_ref.shape[2]
 
-    y0 = ty * t_h + sy_ref[ty, tx]
-    x0 = tx * t_w + sx_ref[ty, tx]
-    # clamp the block origin so the DMA stays in bounds (per-pixel border
-    # clamping is only approximated at frame borders, like the reference's
-    # whole-tile clamps)
-    y0 = jnp.clip(y0, 0, h - t_h)
-    x0 = jnp.clip(x0, 0, w - t_w)
+        copies = []
+        for tx in range(ntx):
+            y0 = jnp.clip(ty * t + sy_ref[n, ty, tx], 0, h - t)
+            x0 = jnp.clip(tx * t + sx_ref[n, ty, tx], 0, w - t)
+            copy = pltpu.make_async_copy(
+                img_ref.at[n, pl.ds(y0, t), pl.ds(x0, t)],
+                out_ref.at[0, :, pl.ds(tx * t, t)],
+                sems.at[tx],
+            )
+            copy.start()
+            copies.append(copy)
+        for copy in copies:
+            copy.wait()
 
-    copy = pltpu.make_async_copy(
-        img_ref.at[pl.ds(y0, t_h), pl.ds(x0, t_w)],
-        out_ref,
-        sem,
-    )
-    copy.start()
-    copy.wait()
+    return kernel
 
 
 def tile_warp_pallas(
-    img: jnp.ndarray, int_shifts: jnp.ndarray, tile_size: int,
+    imgs: jnp.ndarray, int_shifts: jnp.ndarray, tile_size: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Pallas equivalent of ops.warp_fast.tile_warp_int for 2-D images
-    whose height/width are multiples of tile_size.
+    """Pallas equivalent of ops.warp_fast.tile_warp_int for images whose
+    height/width are multiples of tile_size.
 
-    img: (H, W) float32; int_shifts: (nty, ntx, 2) int32.
+    imgs: (H, W) or (N, H, W) float32; int_shifts: ([N,] nty, ntx, 2).
     """
-    h, w = img.shape
+    single = imgs.ndim == 2
+    if single:
+        imgs = imgs[None]
+        int_shifts = int_shifts[None]
+    n, h, w = imgs.shape
     t = tile_size
     nty, ntx = h // t, w // t
     assert nty * t == h and ntx * t == w, "image must be tile-aligned"
@@ -61,16 +67,17 @@ def tile_warp_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nty, ntx),
+        grid=(n, nty),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (t, t), lambda ty, tx, sy, sx: (ty, tx), memory_space=pltpu.VMEM
+            (1, t, w), lambda ni, ty, sy, sx: (ni, ty, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((ntx,))],
     )
-    return pl.pallas_call(
-        _tile_warp_kernel,
-        out_shape=jax.ShapeDtypeStruct((h, w), img.dtype),
+    out = pl.pallas_call(
+        _make_kernel(t, ntx),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), imgs.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(sy, sx, img)
+    )(sy, sx, imgs)
+    return out[0] if single else out

@@ -20,10 +20,27 @@ def make_batched_pipeline(
     fn: Callable,
     mesh: Optional[Mesh] = None,
     data_axis: str = "data",
+    mode: Optional[str] = None,
 ):
     """Lift a per-burst function to a jitted batched function. With a mesh,
-    inputs/outputs are sharded batch-first on ``data_axis``."""
-    batched = jax.vmap(fn)
+    inputs/outputs are sharded batch-first on ``data_axis``.
+
+    mode "scan" iterates bursts sequentially on-device (a single chip runs
+    them serially anyway, and — unlike vmap — it composes with Pallas
+    kernels whose batch axes are grid dimensions); mode "vmap" batches the
+    whole program. Default: scan on a single device, vmap over a mesh
+    (a scan over a sharded axis would serialize across shards).
+    """
+    if mode is None:
+        mode = "scan" if mesh is None else "vmap"
+    if mode == "scan":
+        def batched(batch):
+            _, outs = jax.lax.scan(lambda _, b: (None, fn(b)), None, batch)
+            return outs
+    elif mode == "vmap":
+        batched = jax.vmap(fn)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
     if mesh is None:
         return jax.jit(batched)
     sharding = NamedSharding(mesh, P(data_axis))

@@ -6,8 +6,9 @@ coarser level (convertToTilesOverlapPreShift / normalizedCC / findMinimum)
 -> shift-field upsampling (UpSampleShifts) -> dense flow field
 (CreateFlowFieldFromTiles, opticalFlow.cu:47-93).
 
-Everything is one jittable program per burst; frames are vmapped so the
-whole burst aligns in a single XLA computation.
+The frame axis is processed stacked (one XLA computation per burst); with
+``cfg.use_pallas`` the per-level window extraction goes through the
+Pallas DMA kernel (frames as a grid dimension) instead of an XLA gather.
 """
 
 from __future__ import annotations
@@ -30,20 +31,27 @@ from multi_frame_super_resolution_tpu.registration.tiles import (
 
 
 def build_pyramid(img: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
-    """[finest, ..., coarsest] 2x-decimated grayscale pyramid."""
+    """[finest, ..., coarsest] 2x-decimated grayscale pyramid. Accepts
+    (H, W) or a stacked (F, H, W)."""
+    stacked = img.ndim == 3
+    down = jax.vmap(downsample2) if stacked else downsample2
     pyr = [img]
     for _ in range(levels - 1):
-        pyr.append(downsample2(pyr[-1]))
+        pyr.append(down(pyr[-1]))
     return pyr
 
 
-def align_pair(
-    ref: jnp.ndarray, alt: jnp.ndarray, cfg: AlignConfig = AlignConfig()
+def align_frames(
+    ref: jnp.ndarray, alts: jnp.ndarray, cfg: AlignConfig = AlignConfig()
 ) -> jnp.ndarray:
-    """Estimate the per-tile shift field (nty, ntx, 2) at the finest level
-    such that alt(tile_pos + shift) ~= ref(tile_pos)."""
+    """Estimate per-tile shift fields (F, nty, ntx, 2) at the finest level
+    such that alt_f(tile_pos + shift_f) ~= ref(tile_pos).
+
+    ref: (H, W); alts: (F, H, W).
+    """
+    f = alts.shape[0]
     ref_pyr = build_pyramid(ref, cfg.levels)
-    alt_pyr = build_pyramid(alt, cfg.levels)
+    alt_pyr = build_pyramid(alts, cfg.levels)
 
     total = None
     for level in range(cfg.levels - 1, -1, -1):
@@ -51,10 +59,12 @@ def align_pair(
         a = alt_pyr[level]
         nty, ntx = tile_counts(r.shape[0], r.shape[1], cfg.tile_size)
         if total is None:
-            total = jnp.zeros((nty, ntx, 2), jnp.float32)
+            total = jnp.zeros((f, nty, ntx, 2), jnp.float32)
         else:
             # shifts double in pixel units when moving one level finer
-            total = upsample_shift_field(total, nty, ntx, float(cfg.downsample))
+            total = jax.vmap(
+                lambda s: upsample_shift_field(s, nty, ntx, float(cfg.downsample))
+            )(total)
         # the window extraction offsets tiles by the *rounded* predicted
         # shift (as convertToTilesOverlapPreShift does), so the residual
         # found by the search is relative to the rounded prediction
@@ -68,14 +78,37 @@ def align_pair(
             windows = tile_gather_pallas(
                 a, rounded.astype(jnp.int32), cfg.tile_size, cfg.search_radius
             )
-        else:
-            windows = extract_search_windows(
-                a, cfg.tile_size, cfg.search_radius, rounded
+        elif cfg.fast_extract and 2 * cfg.search_radius <= cfg.tile_size:
+            from multi_frame_super_resolution_tpu.registration.tiles import (
+                extract_search_windows_fast,
             )
-        ssd = ssd_surface(ref_tiles, windows, cfg.search_radius)
-        found = find_min_shift(ssd, cfg.search_radius, cfg.peak_threshold, cfg.subpixel)
+
+            windows = jax.vmap(
+                lambda img, pre: extract_search_windows_fast(
+                    img, cfg.tile_size, cfg.search_radius, pre.astype(jnp.int32)
+                )
+            )(a, rounded)
+        else:
+            windows = jax.vmap(
+                lambda img, pre: extract_search_windows(
+                    img, cfg.tile_size, cfg.search_radius, pre
+                )
+            )(a, rounded)
+        ssd = jax.vmap(lambda w: ssd_surface(ref_tiles, w, cfg.search_radius))(windows)
+        found = jax.vmap(
+            lambda s: find_min_shift(
+                s, cfg.search_radius, cfg.peak_threshold, cfg.subpixel
+            )
+        )(ssd)
         total = rounded + found
     return total
+
+
+def align_pair(
+    ref: jnp.ndarray, alt: jnp.ndarray, cfg: AlignConfig = AlignConfig()
+) -> jnp.ndarray:
+    """Single-pair alignment: (nty, ntx, 2)."""
+    return align_frames(ref, alt[None], cfg)[0]
 
 
 def align_burst(
@@ -84,8 +117,7 @@ def align_burst(
     """Align every frame of a grayscale burst (F, H, W) against the
     reference frame. Returns per-tile shifts (F, nty, ntx, 2); the
     reference frame's entry is zero."""
-    ref = burst[ref_index]
-    shifts = jax.vmap(lambda alt: align_pair(ref, alt, cfg))(burst)
+    shifts = align_frames(burst[ref_index], burst, cfg)
     return shifts.at[ref_index].set(0.0)
 
 

@@ -25,14 +25,10 @@ def lk_step(ref: jnp.ndarray, warped: jnp.ndarray, cfg: LKConfig) -> jnp.ndarray
     ix, iy, it = derivatives_pair(ref, warped)  # it = ref - warped
     win = 2 * cfg.half_window + 1
 
-    def wsum(x):
-        return box_filter(x, win, normalize=False)
-
-    sxx = wsum(ix * ix)
-    sxy = wsum(ix * iy)
-    syy = wsum(iy * iy)
-    sxt = wsum(ix * it)
-    syt = wsum(iy * it)
+    # one stacked depthwise box filter instead of five separate ones
+    prods = jnp.stack([ix * ix, ix * iy, iy * iy, ix * it, iy * it], axis=-1)
+    sums = box_filter(prods, win, normalize=False)
+    sxx, sxy, syy, sxt, syt = (sums[..., i] for i in range(5))
 
     # eigenvalues of the symmetric PSD normal matrix = its singular values
     tr = sxx + syy

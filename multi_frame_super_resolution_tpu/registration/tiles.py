@@ -77,6 +77,49 @@ def extract_search_windows(
     return img[yy, xx]
 
 
+def extract_search_windows_fast(
+    img: jnp.ndarray,
+    tile_size: int,
+    radius: int,
+    pre_shift_int: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Gatherless search-window extraction (the TPU fast path).
+
+    Tile-warps the image by the integer pre-shifts (one structured warp),
+    then assembles the overlapping (T+2R)^2 windows from contiguous
+    reshapes/concats/static slices — no data-dependent gather.
+
+    Semantics vs extract_search_windows: each window's halo comes from the
+    *neighboring tiles' own shifts* rather than extending this tile's
+    shift into the halo (the reference extends, kernel.cu:323-378). The
+    two agree wherever neighboring pre-shifts agree; elsewhere only the
+    SSD surface's rim pixels differ.
+    """
+    from multi_frame_super_resolution_tpu.ops.warp_fast import tile_warp_int
+
+    h, w = img.shape
+    t = tile_size
+    r = radius
+    if 2 * r > t:
+        raise ValueError("fast extraction needs search_radius <= tile_size/2")
+    nty, ntx = tile_counts(h, w, t)
+    b = t + 2 * r
+
+    warped = img if pre_shift_int is None else tile_warp_int(img, pre_shift_int, t)
+    # pad: R halo on top/left; bottom/right enough for one extra tile row
+    pad_b = (nty + 1) * t - h + r
+    pad_r = (ntx + 1) * t - w + r
+    p = jnp.pad(warped, ((r, pad_b), (r, pad_r)), mode="edge")
+    tiles = (
+        p[: (nty + 1) * t, : (ntx + 1) * t]
+        .reshape(nty + 1, t, ntx + 1, t)
+        .transpose(0, 2, 1, 3)
+    )  # (nty+1, ntx+1, T, T)
+    dy = jnp.concatenate([tiles[:-1], tiles[1:]], axis=2)  # (nty, ntx+1, 2T, T)
+    dxy = jnp.concatenate([dy[:, :-1], dy[:, 1:]], axis=3)  # (nty, ntx, 2T, 2T)
+    return dxy[:, :, :b, :b]
+
+
 def ssd_surface(ref_tiles: jnp.ndarray, windows: jnp.ndarray, radius: int) -> jnp.ndarray:
     """SSD over all (2R+1)^2 integer shifts for every tile.
 
@@ -86,6 +129,7 @@ def ssd_surface(ref_tiles: jnp.ndarray, windows: jnp.ndarray, radius: int) -> jn
     """
     nty, ntx, t, _ = ref_tiles.shape
     s = 2 * radius + 1
+    import numpy as np
 
     # template energy (squaredSum, kernel.cu:118-143)
     tsq = jnp.sum(ref_tiles * ref_tiles, axis=(-2, -1))
@@ -100,20 +144,23 @@ def ssd_surface(ref_tiles: jnp.ndarray, windows: jnp.ndarray, radius: int) -> jn
         + ii[..., :-t, :-t]
     )  # (nty, ntx, 2R+1, 2R+1)
 
-    # cross term: one fused multiply-reduce per static shift. Deliberately
-    # NOT materialized as an im2col tensor — (nty, ntx, S^2, T, T) would
-    # explode under TPU tile padding (the trailing (T, T) dims pad to
-    # (8, 128) tiles); each term here fuses into a single VPU
-    # multiply-reduce over a strided view of `windows`.
-    ccs = [
-        jnp.sum(
-            ref_tiles * windows[..., u : u + t, v : v + t],
-            axis=(-2, -1),
-        )
-        for u in range(s)
-        for v in range(s)
-    ]
-    cc = jnp.stack(ccs, axis=-1).reshape(nty, ntx, s, s)
+    # cross term as ONE batched MXU contraction: flatten tile pixels onto
+    # the lane dimension (layout-safe, unlike an (..., T, T) im2col) and
+    # build the S^2 shifted patches with a single static-index gather.
+    t2 = t + 2 * radius
+    n = nty * ntx
+    ref_flat = ref_tiles.reshape(n, t * t)
+    win_flat = windows.reshape(n, t2 * t2)
+    # static index map: patch s=(u,v), pixel k=(i,j) -> window pixel
+    # (u+i, v+j)
+    uu, vv, ii, jj = np.meshgrid(
+        np.arange(s), np.arange(s), np.arange(t), np.arange(t), indexing="ij"
+    )
+    idx = ((uu + ii) * t2 + (vv + jj)).reshape(s * s, t * t)
+    patches = win_flat[:, jnp.asarray(idx)]  # (n, S^2, T^2)
+    cc = jnp.einsum(
+        "nk,nsk->ns", ref_flat, patches, precision=jax.lax.Precision.HIGHEST
+    ).reshape(nty, ntx, s, s)
 
     return tsq[..., None, None] + wsq - 2.0 * cc
 

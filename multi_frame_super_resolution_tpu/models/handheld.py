@@ -104,7 +104,7 @@ def _handheld_fast(burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
     from multi_frame_super_resolution_tpu.models.fast_merge import merge_burst_fast
     from multi_frame_super_resolution_tpu.ops.warp_fast import (
         tile_shift_decompose,
-        tile_warp_int,
+        tile_warp_select,
         upsample_int,
         upsample_nearest,
     )
@@ -134,13 +134,9 @@ def _handheld_fast(burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
             .transpose(0, 2, 3, 1)
         )
     else:
-        def warp_frame(frame, ints):
-            return jnp.stack(
-                [tile_warp_int(frame[..., ch], ints, t) for ch in range(c)],
-                axis=-1,
-            )
-
-        warped = jax.vmap(warp_frame)(burst, int_shifts)
+        warped = jax.vmap(lambda fr, ints: tile_warp_select(fr, ints, t))(
+            burst, int_shifts
+        )
     warped = warped.at[0].set(burst[0])
 
     # residual subpixel flow, piecewise constant per tile

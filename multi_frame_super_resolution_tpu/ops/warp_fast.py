@@ -171,6 +171,51 @@ def warp_decomposed(
     return warp_bounded(shifted, residual, residual_bound)
 
 
+def tile_warp_select(
+    img: jnp.ndarray,
+    int_shifts: jnp.ndarray,
+    tile_size: int,
+    bound: int = 16,
+) -> jnp.ndarray:
+    """Gatherless per-tile integer-shift warp via separable one-hot
+    reduction: out = sum_d [shift_map == d] * shifted_d, per axis.
+
+    ~8x faster than the XLA gather form on TPU (measured 0.16 ms vs
+    1.3 ms per 256x512 image): the selects compile to stacked VPU
+    multiply-adds instead of a general gather. Shifts are clamped to
+    +-bound; frames moving further are mis-warped by the excess (the
+    robustness model then down-weights them).
+
+    img: (H, W) or (H, W, C); int_shifts (nty, ntx, 2) int32.
+    """
+    h, w = img.shape[0], img.shape[1]
+    t = tile_size
+    b = bound
+    nd = 2 * b + 1
+    ints = jnp.clip(int_shifts, -b, b)
+    sy = jnp.repeat(jnp.repeat(ints[..., 0], t, axis=0), t, axis=1)[:h, :w]
+    sx = jnp.repeat(jnp.repeat(ints[..., 1], t, axis=0), t, axis=1)[:h, :w]
+    dvals = jnp.arange(-b, b + 1)
+
+    pads = ((b, b), (0, 0)) + ((0, 0),) * (img.ndim - 2)
+    padded = jnp.pad(img, pads, mode="edge")
+    rows = jnp.stack([padded[b + d : b + d + h] for d in range(-b, b + 1)], axis=0)
+    oh = (sy[None] == dvals[:, None, None]).astype(img.dtype)
+    if img.ndim == 3:
+        oh = oh[..., None]
+    out = jnp.sum(rows * oh, axis=0)
+
+    pads = ((0, 0), (b, b)) + ((0, 0),) * (img.ndim - 2)
+    padded = jnp.pad(out, pads, mode="edge")
+    cols = jnp.stack(
+        [padded[:, b + d : b + d + w] for d in range(-b, b + 1)], axis=0
+    )
+    oh = (sx[None] == dvals[:, None, None]).astype(img.dtype)
+    if img.ndim == 3:
+        oh = oh[..., None]
+    return jnp.sum(cols * oh, axis=0)
+
+
 def tile_warp_int(
     img: jnp.ndarray, int_shifts: jnp.ndarray, tile_size: int
 ) -> jnp.ndarray:

@@ -79,15 +79,33 @@ def align_frames(
                 a, rounded.astype(jnp.int32), cfg.tile_size, cfg.search_radius
             )
         elif cfg.fast_extract and 2 * cfg.search_radius <= cfg.tile_size:
+            # fully fused image-level path: tile-warp each frame by the
+            # rounded prediction, then one multiply + tile-reduce for all
+            # SSD surfaces (no windows materialized at all)
+            from multi_frame_super_resolution_tpu.ops.warp_fast import (
+                tile_warp_select,
+            )
             from multi_frame_super_resolution_tpu.registration.tiles import (
-                extract_search_windows_fast,
+                ssd_surface_image,
             )
 
-            windows = jax.vmap(
-                lambda img, pre: extract_search_windows_fast(
-                    img, cfg.tile_size, cfg.search_radius, pre.astype(jnp.int32)
+            warped = jax.vmap(
+                lambda img, pre: tile_warp_select(
+                    img, pre.astype(jnp.int32), cfg.tile_size
                 )
             )(a, rounded)
+            ssd = jax.vmap(
+                lambda wimg: ssd_surface_image(
+                    r, wimg, cfg.tile_size, cfg.search_radius
+                )
+            )(warped)
+            found = jax.vmap(
+                lambda x: find_min_shift(
+                    x, cfg.search_radius, cfg.peak_threshold, cfg.subpixel
+                )
+            )(ssd)
+            total = rounded + found
+            continue
         else:
             windows = jax.vmap(
                 lambda img, pre: extract_search_windows(

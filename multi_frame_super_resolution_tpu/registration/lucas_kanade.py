@@ -19,10 +19,25 @@ from multi_frame_super_resolution_tpu.ops.filters import box_filter
 from multi_frame_super_resolution_tpu.ops.geometry import downsample2, resize, warp_backward
 
 
-def lk_step(ref: jnp.ndarray, warped: jnp.ndarray, cfg: LKConfig) -> jnp.ndarray:
+def lk_step(
+    ref: jnp.ndarray,
+    warped: jnp.ndarray,
+    cfg: LKConfig,
+    ref_derivs=None,
+) -> jnp.ndarray:
     """One LK increment (H, W, 2) given the reference image and the
-    current warped moving image."""
-    ix, iy, it = derivatives_pair(ref, warped)  # it = ref - warped
+    current warped moving image. ``ref_derivs`` (dx, dy of ref) may be
+    precomputed once outside the iteration loop."""
+    if ref_derivs is None:
+        ix, iy, it = derivatives_pair(ref, warped)  # it = ref - warped
+    else:
+        from multi_frame_super_resolution_tpu.ops.derivatives import derivatives
+
+        rdx, rdy = ref_derivs
+        wdx, wdy = derivatives(warped)
+        ix = 0.5 * (rdx + wdx)
+        iy = 0.5 * (rdy + wdy)
+        it = ref - warped
     win = 2 * cfg.half_window + 1
 
     # one stacked depthwise box filter instead of five separate ones
@@ -65,9 +80,13 @@ def lk_refine(
     else:
         warp = warp_backward
 
+    from multi_frame_super_resolution_tpu.ops.derivatives import derivatives
+
+    ref_derivs = derivatives(ref)  # constant across iterations
+
     def body(_, flow):
         warped = warp(moved, flow)
-        return flow + lk_step(ref, warped, cfg)
+        return flow + lk_step(ref, warped, cfg, ref_derivs)
 
     return jax.lax.fori_loop(0, cfg.iterations, body, flow0)
 

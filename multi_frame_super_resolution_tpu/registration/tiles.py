@@ -165,6 +165,78 @@ def ssd_surface(ref_tiles: jnp.ndarray, windows: jnp.ndarray, radius: int) -> jn
     return tsq[..., None, None] + wsq - 2.0 * cc
 
 
+def ssd_surface_image(
+    ref_img: jnp.ndarray,
+    warped_img: jnp.ndarray,
+    tile_size: int,
+    radius: int,
+) -> jnp.ndarray:
+    """Image-level fused SSD surfaces for ALL tiles at once — the TPU fast
+    path pairing with extract_search_windows_fast (same halo semantics:
+    the alternate image is already tile-warped, halos cross tile borders).
+
+    Builds the (2R+1)^2 shifted copies as one stacked array, multiplies by
+    the reference once, and reduces per tile with a single reshape-sum —
+    a handful of kernels instead of (2R+1)^2 multiply-reduces.
+
+    Returns (nty, ntx, 2R+1, 2R+1).
+    """
+    h, w = ref_img.shape
+    t = tile_size
+    r = radius
+    s = 2 * r + 1
+    nty, ntx = tile_counts(h, w, t)
+    pad_h = nty * t - h
+    pad_w = ntx * t - w
+    if pad_h or pad_w:
+        ref_img = jnp.pad(ref_img, ((0, pad_h), (0, pad_w)), mode="edge")
+        warped_img = jnp.pad(warped_img, ((0, pad_h), (0, pad_w)), mode="edge")
+        h, w = ref_img.shape
+
+    padded = jnp.pad(warped_img, r, mode="edge")
+    # stack the shifted copies on axis 0 (stacking on the minor axis would
+    # create 128x-padded singleton lanes on TPU)
+    shifted = jnp.stack(
+        [padded[u : u + h, v : v + w] for u in range(s) for v in range(s)],
+        axis=0,
+    )  # (S^2, H, W)
+
+    # cross term: one multiply + tile reduction (leading-dim reshapes only)
+    prod = ref_img[None] * shifted
+    cc = (
+        prod.reshape(s * s, nty, t, w)
+        .sum(axis=2)
+        .reshape(s * s, nty, ntx, t)
+        .sum(axis=3)
+    )  # (S^2, nty, ntx)
+
+    # template energy per tile
+    tsq = (
+        (ref_img * ref_img).reshape(nty, t, w).sum(axis=1).reshape(nty, ntx, t).sum(axis=2)
+    )
+
+    # window energies: integral image of padded^2, sampled at strided
+    # offsets (2(2R+1) strided slices instead of per-window integrals)
+    sq = padded * padded
+    ii = jnp.pad(sq, ((1, 0), (1, 0))).cumsum(0).cumsum(1)
+
+    def at(u, v):
+        # sum over rows [tyT+u, tyT+u+T) x cols [txT+v, txT+v+T) of padded
+        top = ii[u : u + (nty - 1) * t + 1 : t, :]
+        bot = ii[u + t : u + t + (nty - 1) * t + 1 : t, :]
+        rows = bot - top  # (nty, W+2R+1)
+        left = rows[:, v : v + (ntx - 1) * t + 1 : t]
+        right = rows[:, v + t : v + t + (ntx - 1) * t + 1 : t]
+        return right - left  # (nty, ntx)
+
+    wsq = jnp.stack(
+        [at(u, v) for u in range(s) for v in range(s)], axis=0
+    )  # (S^2, nty, ntx)
+
+    ssd = tsq[None] + wsq - 2.0 * cc  # (S^2, nty, ntx)
+    return ssd.reshape(s, s, nty, ntx).transpose(2, 3, 0, 1)
+
+
 def find_min_shift(
     ssd: jnp.ndarray,
     radius: int,

@@ -177,3 +177,42 @@ def test_btvl1_fast_matches_slow(rng):
     )(b)
     p = float(psnr(slow[4:-4, 4:-4], fast[4:-4, 4:-4]))
     assert p > 35.0, p
+
+
+def test_tile_warp_select_uniform_exact(rng):
+    from multi_frame_super_resolution_tpu.ops.warp_fast import (
+        tile_warp_select,
+    )
+
+    img = jnp.asarray(rng.random((32, 48)).astype(np.float32))
+    shifts = jnp.asarray(np.tile(np.asarray([5, -7], np.int32), (2, 3, 1)))
+    a = np.asarray(tile_warp_select(img, shifts, 16, bound=16))
+    b = np.asarray(tile_warp_int(img, shifts, 16))
+    np.testing.assert_allclose(a, b)
+
+
+def test_tile_warp_select_rgb_and_varying(rng):
+    from multi_frame_super_resolution_tpu.ops.warp_fast import (
+        tile_warp_select,
+    )
+
+    img = jnp.asarray(rng.random((32, 48, 3)).astype(np.float32))
+    shifts = jnp.asarray(rng.integers(-3, 4, (2, 3, 2)).astype(np.int32))
+    a = np.asarray(tile_warp_select(img, shifts, 16, bound=8))
+    b = np.asarray(
+        jnp.stack(
+            [tile_warp_int(img[..., c], shifts, 16) for c in range(3)], axis=-1
+        )
+    )
+    # exact away from tile-crossing bands; tile interiors match
+    for ty in range(2):
+        for tx in range(3):
+            ys, xs = ty * 16, tx * 16
+            sy, sx = int(shifts[ty, tx, 0]), int(shifts[ty, tx, 1])
+            # interior of each tile where neither pass crosses a boundary
+            y0, y1 = ys + max(-sy, 0) + 4, ys + 16 - max(sy, 0) - 4
+            x0, x1 = xs + max(-sx, 0) + 4, xs + 16 - max(sx, 0) - 4
+            if y1 > y0 and x1 > x0:
+                np.testing.assert_allclose(
+                    a[y0:y1, x0:x1], b[y0:y1, x0:x1], atol=1e-6
+                )

@@ -118,6 +118,10 @@ class HandheldConfig:
     gamma: bool = False          # sRGB-encode the output (RAW/linear input)
     fast: bool = True            # gatherless tile-warp + static-tap merge
     residual_bound: float = 1.0  # fast path: subpixel residual clamp (px)
+    # alignment via the pairwise global-consistency solve (ShiftMinimizer
+    # equivalent) instead of direct-to-reference measurements; ~2x the
+    # alignment cost, more robust on low-texture frames
+    use_consistency: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,37 +56,46 @@ def _block_mean_adjoint(r: jnp.ndarray, s: int) -> jnp.ndarray:
     return rep / (s * s)
 
 
-def _warp(x: jnp.ndarray, hr_flow: jnp.ndarray, cfg: BTVConfig) -> jnp.ndarray:
-    """Backward warp; the fast path decomposes the flow into per-tile
-    integer shifts + bounded residual so no per-pixel gather is emitted
-    (ops/warp_fast.py)."""
+def _make_warp(hr_flow: jnp.ndarray, cfg: BTVConfig):
+    """Build a warp closure for a fixed flow. The fast path decomposes the
+    flow ONCE into per-tile integer shifts + bounded residual and warps
+    with the gatherless one-hot select (ops/warp_fast.py); the flows are
+    constant across the solver iterations, so the decomposition is hoisted
+    out of the iteration loop entirely."""
     if not cfg.fast:
-        return warp_backward(x, hr_flow)
+        return lambda x: warp_backward(x, hr_flow)
     from multi_frame_super_resolution_tpu.ops.warp_fast import (
         decompose_flow,
-        warp_decomposed,
+        tile_warp_select,
+        warp_bounded,
     )
 
     tile_int, residual = decompose_flow(hr_flow, cfg.warp_tile)
-    return warp_decomposed(x, tile_int, residual, cfg.warp_tile, cfg.warp_residual_bound)
+    residual = jnp.clip(residual, -cfg.warp_residual_bound, cfg.warp_residual_bound)
+
+    def warp(x):
+        shifted = tile_warp_select(x, tile_int, cfg.warp_tile)
+        return warp_bounded(shifted, residual, cfg.warp_residual_bound)
+
+    return warp
 
 
-def _degrade(x_hr: jnp.ndarray, hr_flow: jnp.ndarray, cfg: BTVConfig) -> jnp.ndarray:
+def _degrade(x_hr: jnp.ndarray, warp, cfg: BTVConfig) -> jnp.ndarray:
     """A x = decimate(blur(warp(x))) onto frame-k's low-res grid. The
     decimation is a block mean, which keeps the HR/LR pixel grids
     center-aligned (matching the resize/downsample conventions of ops/)."""
-    warped = _warp(x_hr, hr_flow, cfg)
+    warped = warp(x_hr)
     blurred = _blur(warped, cfg)
     return _block_mean(blurred, cfg.scale)
 
 
-def _degrade_adjoint(r_lr: jnp.ndarray, hr_flow_inv: jnp.ndarray, cfg: BTVConfig) -> jnp.ndarray:
+def _degrade_adjoint(r_lr: jnp.ndarray, warp_inv, cfg: BTVConfig) -> jnp.ndarray:
     """A^T r = warp_back(blur(decimation-adjoint(r))). The warp adjoint is
     approximated by warping with the negated flow (standard in BTVL1
     implementations)."""
     up = _block_mean_adjoint(r_lr, cfg.scale)
     blurred = _blur(up, cfg)
-    return _warp(blurred, hr_flow_inv, cfg)
+    return warp_inv(blurred)
 
 
 def _btv_gradient(x: jnp.ndarray, cfg: BTVConfig) -> jnp.ndarray:
@@ -96,23 +105,22 @@ def _btv_gradient(x: jnp.ndarray, cfg: BTVConfig) -> jnp.ndarray:
     back-shifted sign image."""
     p = cfg.btv_kernel_size // 2
     grad = jnp.zeros_like(x)
-    pad = p
+    h, w = x.shape[0], x.shape[1]
+    trailing = ((0, 0),) * (x.ndim - 2)
+    xp = jnp.pad(x, ((p, p), (p, p)) + trailing, mode="edge")
 
-    def shift(img, dy, dx):
-        padded = jnp.pad(
-            img,
-            ((pad, pad), (pad, pad)) + ((0, 0),) * (img.ndim - 2),
-            mode="edge",
-        )
-        return padded[pad + dy : pad + dy + img.shape[0], pad + dx : pad + dx + img.shape[1]]
+    def shift_x(dy, dx):
+        return xp[p + dy : p + dy + h, p + dx : p + dx + w]
 
     for dy in range(-p, p + 1):
         for dx in range(-p, p + 1):
             if dy == 0 and dx == 0:
                 continue
             weight = cfg.alpha ** (abs(dy) + abs(dx))
-            s = jnp.sign(x - shift(x, dy, dx))
-            grad = grad + weight * (s - shift(s, -dy, -dx))
+            s = jnp.sign(x - shift_x(dy, dx))
+            sp = jnp.pad(s, ((p, p), (p, p)) + trailing, mode="edge")
+            s_back = sp[p - dy : p - dy + h, p - dx : p - dx + w]
+            grad = grad + weight * (s - s_back)
     return grad
 
 
@@ -147,23 +155,31 @@ def btvl1_superres(
         flows = jax.vmap(lambda g: flow_fn(ref_gray, g))(gray)
     h, w = ref_gray.shape
     sh, sw = h * cfg.scale, w * cfg.scale
-    hr_flows = jax.vmap(lambda fl: resize(fl, sh, sw, "bilinear") * cfg.scale)(flows)
+    from multi_frame_super_resolution_tpu.ops.warp_fast import upsample_int
+
+    hr_flows = jax.vmap(lambda fl: upsample_int(fl, cfg.scale, "bilinear") * cfg.scale)(
+        flows
+    )
 
     x0 = upscale(frames[cfg.temporal_radius], cfg.scale, "bicubic")
 
+    # flows are constant across iterations: build the (forward, inverse)
+    # warp closures once per window frame, outside the solver loop
+    n_window = frames.shape[0]
+    warps = [
+        (_make_warp(-hr_flows[k], cfg), _make_warp(hr_flows[k], cfg))
+        for k in range(n_window)
+    ]
+
     def iteration(_, x):
-        def frame_term(carry, data):
-            frame, hr_flow = data
+        data_grad = jnp.zeros_like(x)
+        for k in range(n_window):
+            fwd, inv = warps[k]
             # warp HR estimate into frame-k geometry: sample x at
             # ref-coords of each frame-k pixel = backward warp by -flow
-            sim = _degrade(x, -hr_flow, cfg)
-            resid = jnp.sign(sim - frame)
-            back = _degrade_adjoint(resid, hr_flow, cfg)
-            return carry + back, None
-
-        data_grad, _ = jax.lax.scan(
-            frame_term, jnp.zeros_like(x), (frames, hr_flows)
-        )
+            sim = _degrade(x, fwd, cfg)
+            resid = jnp.sign(sim - frames[k])
+            data_grad = data_grad + _degrade_adjoint(resid, inv, cfg)
         grad = data_grad + cfg.lam * _btv_gradient(x, cfg)
         # tau is the classical 8-bit-range step (OpenCV default 1.3); both
         # gradient terms are sign-valued, so rescale to [0,1] intensities

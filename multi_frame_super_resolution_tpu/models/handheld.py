@@ -34,6 +34,7 @@ from multi_frame_super_resolution_tpu.ops.debayer import debayer, debayer_subsam
 from multi_frame_super_resolution_tpu.ops.geometry import resize, upscale
 from multi_frame_super_resolution_tpu.registration.align import (
     align_burst,
+    align_burst_consistent,
     flow_from_tile_shifts,
 )
 from multi_frame_super_resolution_tpu.registration.lucas_kanade import lk_refine
@@ -45,7 +46,11 @@ def _burst_flows(
     """Tile-align a grayscale burst (F, H, W) against frame 0 and densify
     (+ optional LK refinement). Returns flows (F, H, W, 2)."""
     f, h, w = gray.shape
-    tile_shifts = align_burst(gray, cfg.align)
+    tile_shifts = (
+        align_burst_consistent(gray, cfg.align)
+        if cfg.use_consistency
+        else align_burst(gray, cfg.align)
+    )
     flows = jax.vmap(
         lambda s: flow_from_tile_shifts(s, cfg.align.tile_size, h, w)
     )(tile_shifts)
@@ -114,7 +119,11 @@ def _handheld_fast(burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
     t = cfg.align.tile_size
     gray = rgb_to_gray(burst)
 
-    tile_shifts = align_burst(gray, cfg.align)
+    tile_shifts = (
+        align_burst_consistent(gray, cfg.align)
+        if cfg.use_consistency
+        else align_burst(gray, cfg.align)
+    )
     int_shifts, res_tiles = tile_shift_decompose(tile_shifts)
 
     # integer tile warp into reference geometry; frames x channels go

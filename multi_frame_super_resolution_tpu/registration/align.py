@@ -139,6 +139,32 @@ def align_burst(
     return shifts.at[ref_index].set(0.0)
 
 
+def align_burst_consistent(
+    burst: jnp.ndarray,
+    cfg: AlignConfig = AlignConfig(),
+    ref_index: int = 0,
+    max_span: int = 2,
+) -> jnp.ndarray:
+    """Burst alignment with the global shift-consistency solve: measure
+    pairwise shifts over a short-span pair graph, solve the per-tile
+    least-squares chain with outlier rejection (ShiftMinimizer,
+    registration/global_shift.py), and accumulate the optimal shifts to
+    the reference frame. Returns (F, nty, ntx, 2)."""
+    from multi_frame_super_resolution_tpu.registration.global_shift import (
+        measurement_pairs,
+        shifts_to_reference,
+        solve_consistent_shifts,
+    )
+
+    f = burst.shape[0]
+    pairs = measurement_pairs(f, max_span)
+    measured = jnp.stack(
+        [align_frames(burst[i], burst[j][None], cfg)[0] for (i, j) in pairs]
+    )
+    consecutive, _ = solve_consistent_shifts(measured, f, tuple(pairs))
+    return shifts_to_reference(consecutive, ref_index)
+
+
 def flow_from_tile_shifts(
     shifts: jnp.ndarray,
     tile_size: int,

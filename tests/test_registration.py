@@ -220,3 +220,19 @@ def test_register_similarity_end_to_end(rng):
     tf = register_similarity(img, moved)
     assert abs(abs(float(tf.rotation)) - 0.1) < 0.04
     assert abs(float(tf.scale) - 1.0) < 0.05
+
+
+def test_align_burst_consistent_matches_direct(rng):
+    from multi_frame_super_resolution_tpu.registration.align import (
+        align_burst_consistent,
+    )
+
+    burst, true_shifts = _burst(rng, n=4, h=96, w=96, max_shift=2.0)
+    cfg = AlignConfig(tile_size=16, search_radius=4, levels=2)
+    shifts = np.asarray(
+        jax.jit(lambda b: align_burst_consistent(b, cfg))(jnp.asarray(burst))
+    )
+    np.testing.assert_allclose(shifts[0], 0.0, atol=1e-5)
+    for f in range(1, 4):
+        est = shifts[f, 1:-1, 1:-1].mean(axis=(0, 1))
+        np.testing.assert_allclose(est, -true_shifts[f], atol=0.25)

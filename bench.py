@@ -23,7 +23,6 @@ def main() -> None:
     import jax.numpy as jnp
 
     from multi_frame_super_resolution_tpu.config import AlignConfig, HandheldConfig
-    from multi_frame_super_resolution_tpu.models import handheld_superres
 
     # city-burst geometry (5 x 256 x 512 x 3); use the real burst when the
     # reference data is mounted, synthetic otherwise
@@ -39,8 +38,17 @@ def main() -> None:
         )
         burst_np = np.stack([g] * 3, axis=-1)
 
-    cfg = HandheldConfig(align=AlignConfig(tile_size=16, search_radius=4, levels=3))
-    pipeline = lambda b: handheld_superres(b, cfg)  # noqa: E731
+    # headline = the north-star pipeline: demosaic + align + robust fuse +
+    # 2x SR on the mosaicked city burst (BASELINE.json configs[4])
+    from multi_frame_super_resolution_tpu.data import mosaic_rggb
+    from multi_frame_super_resolution_tpu.models import handheld_superres_raw
+
+    raw_np = np.stack([mosaic_rggb(f) for f in burst_np])
+    cfg = HandheldConfig(
+        align=AlignConfig(tile_size=16, search_radius=4, levels=2), gamma=False
+    )
+    pipeline = lambda b: handheld_superres_raw(b, cfg)  # noqa: E731
+    burst_np = raw_np
 
     k = int(os.environ.get("MFSR_BENCH_K", "6"))
     reps = int(os.environ.get("MFSR_BENCH_REPS", "4"))

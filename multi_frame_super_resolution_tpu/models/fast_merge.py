@@ -105,3 +105,81 @@ def merge_burst_fast(
         return acc.transpose(2, 0, 3, 1, 4).reshape(sh, sw, 3)
 
     return interleave(num), interleave(den)
+
+
+def merge_burst_raw_fast(
+    raw_warped: jnp.ndarray,
+    residual: jnp.ndarray,
+    certainty_raw: jnp.ndarray,
+    omega_inv: jnp.ndarray,
+    cfa,
+    scale: int,
+    radius: int = 2,
+    residual_bound: float = 2.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gatherless CFA-aware merge (accumulateImagesSuperRes equivalent).
+
+    raw_warped: (F, H, W) Bayer frames already warped to reference
+    geometry by EVEN integer shifts (so the CFA phase is preserved);
+    residual: (F, H, W, 2) remaining flow in RAW pixels; certainty_raw:
+    (F, H, W, 3) robustness upsampled to RAW resolution; omega_inv:
+    (H, W, 3). Each tap contributes only to its sample's CFA channel via
+    STATIC checkerboard masks — no gathers.
+    """
+    from multi_frame_super_resolution_tpu.ops.debayer import cfa_channel_map
+
+    f, h, w = raw_warped.shape
+    s = scale
+    sh, sw = h * s, w * s
+    r_taps = radius + int(np.ceil(residual_bound))
+
+    phi = _output_phase_offsets(s)
+    chan = cfa_channel_map(h, w, cfa)  # (H, W) int
+    eye3 = np.eye(3, dtype=np.float32)
+
+    def accumulate_frame(carry, frame_data):
+        num, den = carry  # (s, s, H, W, 3)
+        raw, res, cert = frame_data
+        res_y = jnp.clip(res[..., 0], -residual_bound, residual_bound)
+        res_x = jnp.clip(res[..., 1], -residual_bound, residual_bound)
+        for ky in range(-r_taps, r_taps + 1):
+            for kx in range(-r_taps, r_taps + 1):
+                val = _shift2d(raw, ky, kx)
+                cert_k = _shift2d(cert, ky, kx)
+                # static CFA channel of the sampled site: the warp
+                # preserved parity, so chan shifted by (ky, kx) with edge
+                # clamp equals the sampled site's channel
+                ch = np.roll(chan, (-ky, -kx), axis=(0, 1))
+                # (edge rows differ from clamped-shift semantics only in
+                # the R-pixel border; acceptable for the masked channels)
+                onehot = jnp.asarray(eye3[ch])  # (H, W, 3) static
+                contrib_c = cert_k * onehot
+                dy0 = (ky - res_y) * s
+                dx0 = (kx - res_x) * s
+                for py in range(s):
+                    dy = dy0 - phi[py] * s
+                    for px in range(s):
+                        dx = dx0 - phi[px] * s
+                        wgt = jnp.exp(
+                            -0.5
+                            * (
+                                dx * dx * omega_inv[..., 0]
+                                + dy * dy * omega_inv[..., 1]
+                                + 2.0 * dx * dy * omega_inv[..., 2]
+                            )
+                        )
+                        cw = wgt[..., None] * contrib_c
+                        num = num.at[py, px].add(val[..., None] * cw)
+                        den = den.at[py, px].add(cw)
+        return (num, den), None
+
+    num0 = jnp.zeros((s, s, h, w, 3), jnp.float32)
+    den0 = jnp.zeros((s, s, h, w, 3), jnp.float32)
+    (num, den), _ = jax.lax.scan(
+        accumulate_frame, (num0, den0), (raw_warped, residual, certainty_raw)
+    )
+
+    def interleave(acc):
+        return acc.transpose(2, 0, 3, 1, 4).reshape(sh, sw, 3)
+
+    return interleave(num), interleave(den)

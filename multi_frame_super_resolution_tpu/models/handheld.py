@@ -195,8 +195,12 @@ def handheld_superres_raw(
 
     Alignment, LK, and robustness run at half resolution on the
     deBayersSubSample3 RGB images (as the reference pipeline does); the
-    merge gathers full-resolution RAW samples into their own CFA channels.
+    merge accumulates full-resolution RAW samples into their own CFA
+    channels. cfg.fast uses the gatherless path (even-integer tile warps
+    preserve the CFA phase; static checkerboard channel masks).
     """
+    if cfg.fast:
+        return _handheld_raw_fast(raw_burst, cfg)
     f, h, w = raw_burst.shape
     half = jax.vmap(lambda r: debayer_subsample(r, cfg.cfa_pattern))(raw_burst)
     gray_half = rgb_to_gray(half)
@@ -216,6 +220,95 @@ def handheld_superres_raw(
         cfg.merge.radius,
     )
     fallback = upscale(debayer(raw_burst[0], cfg.cfa_pattern), cfg.scale, "bicubic")
+    out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
+    if cfg.gamma:
+        out = srgb_gamma(out)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
+    """Gatherless RAW pipeline: half-res alignment -> EVEN-integer RAW tile
+    warp (CFA phase preserved) -> bounded residual + LK at half res ->
+    robustness on warped half-res frames -> static-tap CFA-masked merge."""
+    import dataclasses
+
+    from multi_frame_super_resolution_tpu.models.fast_merge import (
+        merge_burst_raw_fast,
+    )
+    from multi_frame_super_resolution_tpu.ops.warp_fast import (
+        tile_shift_decompose,
+        tile_warp_select,
+        upsample_int,
+        upsample_nearest,
+    )
+    from multi_frame_super_resolution_tpu.registration.align import (
+        align_burst,
+        align_burst_consistent,
+    )
+    from multi_frame_super_resolution_tpu.registration.lucas_kanade import lk_refine
+
+    f, h, w = raw_burst.shape
+    assert h % 2 == 0 and w % 2 == 0, "RAW dims must be even (Bayer quads)"
+    t = cfg.align.tile_size
+    hh, hw = h // 2, w // 2
+
+    half = jax.vmap(lambda r: debayer_subsample(r, cfg.cfa_pattern))(raw_burst)
+    gray_half = rgb_to_gray(half)
+
+    tile_shifts = (
+        align_burst_consistent(gray_half, cfg.align)
+        if cfg.use_consistency
+        else align_burst(gray_half, cfg.align)
+    )  # half-res units
+    int_half, res_tiles = tile_shift_decompose(tile_shifts)
+
+    # EVEN RAW-unit integer warp preserves the CFA phase
+    raw_int = int_half * 2
+    warped_raw = jax.vmap(
+        lambda fr, ints: tile_warp_select(fr, ints, 2 * t, bound=32)
+    )(raw_burst, raw_int)
+    warped_raw = warped_raw.at[0].set(raw_burst[0])
+
+    # residual at half res (<=0.5 px) + optional LK refinement on the
+    # warped half-res luma
+    def lift_half(res):
+        return jnp.repeat(jnp.repeat(res, t, axis=0), t, axis=1)[:hh, :hw]
+
+    res_half = jax.vmap(lift_half)(res_tiles)
+    warped_half = jax.vmap(lambda r: debayer_subsample(r, cfg.cfa_pattern))(warped_raw)
+    gray_wh = rgb_to_gray(warped_half)
+    if cfg.use_lk:
+        lk_cfg = dataclasses.replace(cfg.lk, bounded_warp=2)
+        res_half = jax.vmap(
+            lambda g, fl: lk_refine(gray_wh[0], g, fl, lk_cfg)
+        )(gray_wh, res_half)
+        res_half = res_half.at[0].set(0.0)
+    # half-res residual clipped to +-residual_bound/2 so the RAW-unit
+    # residual stays within +-residual_bound (keeps the merge tap window
+    # at (2(radius+1)+1)^2)
+    res_half = jnp.clip(
+        res_half, -0.5 * cfg.residual_bound, 0.5 * cfg.residual_bound
+    )
+
+    # robustness on the warped half-res frames
+    cert_half = jax.vmap(
+        lambda mv, fl: robustness_mask(
+            warped_half[0], mv, fl, cfg.robustness, bounded=2
+        )[..., :3]
+    )(warped_half, res_half)
+    cert_half = cert_half.at[0].set(1.0)
+    cert_raw = jax.vmap(lambda c: upsample_nearest(c, 2))(cert_half)
+
+    st = smoothed_structure_tensor(gray_half[0], cfg.st_window)
+    omega_raw = upsample_nearest(kernel_params(st, cfg.merge), 2)
+
+    res_raw = jax.vmap(lambda r: upsample_nearest(r, 2) * 2.0)(res_half)
+
+    num, den = merge_burst_raw_fast(
+        warped_raw, res_raw, cert_raw, omega_raw, cfg.cfa_pattern, cfg.scale,
+        cfg.merge.radius, residual_bound=cfg.residual_bound,
+    )
+    fallback = upsample_int(debayer(raw_burst[0], cfg.cfa_pattern), cfg.scale, "bicubic")
     out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
     if cfg.gamma:
         out = srgb_gamma(out)

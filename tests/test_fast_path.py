@@ -216,3 +216,26 @@ def test_tile_warp_select_rgb_and_varying(rng):
                 np.testing.assert_allclose(
                     a[y0:y1, x0:x1], b[y0:y1, x0:x1], atol=1e-6
                 )
+
+
+def test_handheld_raw_fast_close_to_oracle(rng):
+    from multi_frame_super_resolution_tpu.data import mosaic_rggb
+    from multi_frame_super_resolution_tpu.models import handheld_superres_raw
+
+    burst, _ = synthetic_burst(rng, num_frames=3, height=64, width=64, max_shift=2.0)
+    rgb = np.stack([burst] * 3, axis=-1)
+    raw = jnp.asarray(np.stack([mosaic_rggb(f) for f in rgb]))
+    align = AlignConfig(tile_size=8, search_radius=4, levels=2)
+    fast = jax.jit(
+        lambda b: handheld_superres_raw(
+            b, HandheldConfig(align=align, fast=True, gamma=False)
+        )
+    )(raw)
+    slow = jax.jit(
+        lambda b: handheld_superres_raw(
+            b, HandheldConfig(align=align, fast=False, gamma=False)
+        )
+    )(raw)
+    p = float(psnr(slow[8:-8, 8:-8], fast[8:-8, 8:-8]))
+    assert p > 24.0, p
+    assert np.isfinite(np.asarray(fast)).all()

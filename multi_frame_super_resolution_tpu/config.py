@@ -95,6 +95,10 @@ class MergeConfig:
     # along-edge smearing above
     k_min: float = 0.25
     k_max: float = 1.0
+    # RAW merge: R/B sites are 2 raw px apart, so their kernels need a
+    # higher variance floor than green to cover the output grid without
+    # CFA-period fallback patterns
+    k_min_rb: float = 1.0
     # ApplyWeighting: where accumulated weight < threshold, blend in the
     # fallback (reference/demosaiced) image (kernel.cu:425-481).
     weight_threshold: float = 1e-2

@@ -116,6 +116,7 @@ def merge_burst_raw_fast(
     scale: int,
     radius: int = 2,
     residual_bound: float = 2.0,
+    omega_inv_rb: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gatherless CFA-aware merge (accumulateImagesSuperRes equivalent).
 
@@ -124,7 +125,9 @@ def merge_burst_raw_fast(
     residual: (F, H, W, 2) remaining flow in RAW pixels; certainty_raw:
     (F, H, W, 3) robustness upsampled to RAW resolution; omega_inv:
     (H, W, 3). Each tap contributes only to its sample's CFA channel via
-    STATIC checkerboard masks — no gathers.
+    STATIC checkerboard masks — no gathers. ``omega_inv_rb``, when given,
+    supplies wider kernels for the sparser R/B channels (see
+    MergeConfig.k_min_rb).
     """
     from multi_frame_super_resolution_tpu.ops.debayer import cfa_channel_map
 
@@ -136,6 +139,10 @@ def merge_burst_raw_fast(
     phi = _output_phase_offsets(s)
     chan = cfa_channel_map(h, w, cfa)  # (H, W) int
     eye3 = np.eye(3, dtype=np.float32)
+    if omega_inv_rb is None:
+        omega_inv_rb = omega_inv
+    g_sel = jnp.asarray([0.0, 1.0, 0.0])
+    rb_sel = jnp.asarray([1.0, 0.0, 1.0])
 
     def accumulate_frame(carry, frame_data):
         num, den = carry  # (s, s, H, W, 3)
@@ -160,15 +167,22 @@ def merge_burst_raw_fast(
                     dy = dy0 - phi[py] * s
                     for px in range(s):
                         dx = dx0 - phi[px] * s
-                        wgt = jnp.exp(
-                            -0.5
-                            * (
-                                dx * dx * omega_inv[..., 0]
-                                + dy * dy * omega_inv[..., 1]
-                                + 2.0 * dx * dy * omega_inv[..., 2]
+
+                        def quad(om):
+                            return jnp.exp(
+                                -0.5
+                                * (
+                                    dx * dx * om[..., 0]
+                                    + dy * dy * om[..., 1]
+                                    + 2.0 * dx * dy * om[..., 2]
+                                )
                             )
+
+                        w3 = (
+                            quad(omega_inv)[..., None] * g_sel
+                            + quad(omega_inv_rb)[..., None] * rb_sel
                         )
-                        cw = wgt[..., None] * contrib_c
+                        cw = w3 * contrib_c
                         num = num.at[py, px].add(val[..., None] * cw)
                         den = den.at[py, px].add(cw)
         return (num, den), None

@@ -301,12 +301,16 @@ def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarr
 
     st = smoothed_structure_tensor(gray_half[0], cfg.st_window)
     omega_raw = upsample_nearest(kernel_params(st, cfg.merge), 2)
+    # wider kernels for the 2x-sparser R/B channels
+    mc_rb = dataclasses.replace(cfg.merge, k_min=max(cfg.merge.k_min, cfg.merge.k_min_rb))
+    omega_raw_rb = upsample_nearest(kernel_params(st, mc_rb), 2)
 
     res_raw = jax.vmap(lambda r: upsample_nearest(r, 2) * 2.0)(res_half)
 
     num, den = merge_burst_raw_fast(
         warped_raw, res_raw, cert_raw, omega_raw, cfg.cfa_pattern, cfg.scale,
         cfg.merge.radius, residual_bound=cfg.residual_bound,
+        omega_inv_rb=omega_raw_rb,
     )
     fallback = upsample_int(debayer(raw_burst[0], cfg.cfa_pattern), cfg.scale, "bicubic")
     out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)

@@ -52,20 +52,25 @@ def main(argv=None) -> int:
     burst = jnp.asarray(burst_np)
     cfg = BTVConfig(scale=2, iterations=iterations, temporal_radius=1,
                     optical_flow=opt_flow)
+    # the per-frame scale argument defeats remote result caching and the
+    # scalar readback is the reliable completion fence (BENCH_NOTES.md)
     sr = jax.jit(
-        lambda b, t: btvl1_superres(b, t, cfg), static_argnums=(1,)
+        lambda b, t, s: btvl1_superres(b * s, t, cfg), static_argnums=(1,)
     )
 
     num_times = 10
     real_times = 5
     start_i = (num_times - real_times) * num_images
 
+    import jax.numpy as _jnp
+
     result = None
     t_start = None
     for i in range(num_images * num_times):
         if i == start_i:
             t_start = time.perf_counter()
-        result = jax.block_until_ready(sr(burst, i % num_images))
+        result = sr(burst, i % num_images, jnp.float32(1.0 + 1e-7 * i))
+        float(_jnp.sum(result))
     elapsed = time.perf_counter() - t_start
     print(f"{elapsed} sec")
     print(f"{(num_images * num_times - start_i) / elapsed} FPS")

@@ -78,7 +78,12 @@ def main(argv=None) -> int:
 
     iper_np, ipar_np = _load_inputs(input_type)
     cfg = PolarDefogConfig(beta=beta)
-    fn = jax.jit(lambda a, b: polar_defog(a, b, cfg, return_intermediates=True))
+    # the scale argument varies per frame: it defeats remote result
+    # caching of identical calls, and the scalar readback below is the
+    # reliable completion fence (see BENCH_NOTES.md)
+    fn = jax.jit(
+        lambda a, b, s: polar_defog(a * s, b, cfg, return_intermediates=True)
+    )
 
     warmup = 0 if debug else 32
     real_num = 1 if debug else 256
@@ -86,12 +91,13 @@ def main(argv=None) -> int:
     iper = jnp.asarray(iper_np)
     ipar = jnp.asarray(ipar_np)
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(iper, ipar))
+    for i in range(warmup):
+        r, a, t = fn(iper, ipar, jnp.float32(1.0 - 1e-7 * i))
+        float(jnp.sum(r))
     t0 = time.perf_counter()
-    for _ in range(real_num):
-        r, a, t = fn(iper, ipar)
-        jax.block_until_ready(r)
+    for i in range(real_num):
+        r, a, t = fn(iper, ipar, jnp.float32(1.0 + 1e-7 * i))
+        float(jnp.sum(r))
     elapsed = time.perf_counter() - t0
     print(f"{elapsed} sec")
     print(f"{real_num / elapsed} FPS")

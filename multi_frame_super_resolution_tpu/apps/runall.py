@@ -33,12 +33,19 @@ def main(argv=None) -> int:
     iper, ipar = _load_inputs(3)
     for beta in ([1.55] if quick else [1.55, 10.0]):
         cfg = PolarDefogConfig(beta=beta)
-        fn = jax.jit(lambda a, b: polar_defog(a, b, cfg))
-        out = jax.block_until_ready(fn(jnp.asarray(iper), jnp.asarray(ipar)))
+        # the perturbation scale is a traced argument (one executable) and
+        # defeats remote result caching of identical calls; the jnp.sum
+        # readback is the reliable completion fence on remote backends
+        fn = jax.jit(
+            lambda a, b, s: jnp.sum(polar_defog(a * s, b, cfg))
+        )
+        iper_j = jnp.asarray(iper)
+        ipar_j = jnp.asarray(ipar)
+        float(fn(iper_j, ipar_j, jnp.float32(1.0)))  # compile+warm
         iters = 8 if quick else 64
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = jax.block_until_ready(fn(jnp.asarray(iper), jnp.asarray(ipar)))
+        for i in range(iters):
+            float(fn(iper_j, ipar_j, jnp.float32(1.0 + i * 1e-6)))
         dt = time.perf_counter() - t0
         print(f"polar_defog beta={beta}: {dt:.3f} sec, {iters / dt:.2f} FPS")
 
@@ -47,12 +54,14 @@ def main(argv=None) -> int:
         f = burst.shape[0]
         for flow in flows:
             cfg = BTVConfig(scale=2, iterations=10, optical_flow=flow)
-            sr = jax.jit(lambda b: btvl1_superres(b, 0, cfg))
-            jax.block_until_ready(sr(burst))  # warmup/compile
+            sr = jax.jit(
+                lambda b, s: jnp.sum(btvl1_superres(b * s, 0, cfg))
+            )
+            float(sr(burst, jnp.float32(1.0)))  # warmup/compile
             n = 2 if quick else f
             t0 = time.perf_counter()
-            for _ in range(n):
-                jax.block_until_ready(sr(burst))
+            for i in range(n):
+                float(sr(burst, jnp.float32(1.0 + i * 1e-6)))
             dt = time.perf_counter() - t0
             print(f"multi_frame_sr {flow} {ds} 10: {dt:.3f} sec, {n / dt:.2f} FPS")
     return 0

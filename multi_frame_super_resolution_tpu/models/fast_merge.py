@@ -2,12 +2,28 @@
 
 Reformulates the accumulate kernels (DeBayerKernels.cu:289-468) for the
 VPU: frames are first warped into reference geometry by their per-tile
-INTEGER shifts (one DMA/structured-gather per frame, see
-ops.warp_fast / pallas_ops.tile_warp); what remains per output pixel is a
-STATIC tap window around its nearest input sample, with the bounded
-subpixel residual folded into the per-pixel Gaussian weights. Every tap
-is a static shift x elementwise weight — no gathers anywhere, and XLA
-fuses the whole tap loop into a handful of VPU passes.
+INTEGER shifts (one structured warp per frame, see ops.warp_fast /
+pallas_ops.tile_warp); what remains per output pixel is a STATIC tap
+window around its nearest input sample, with the bounded subpixel
+residual folded into the per-pixel Gaussian weights. Every tap is a
+static shift x elementwise weight — no gathers anywhere, and XLA fuses
+the whole tap loop into a handful of VPU passes.
+
+Two volume reductions on top of the round-1 formulation:
+
+  * STATIC TAP PRUNING: with the merge-kernel variance clamped to
+    ``k_max`` (output px^2) and the residual clamped to
+    ``residual_bound``, a tap's best-case weight is
+    exp(-max(0, |k|-rb-|phi|)^2 s^2 / (2 k_max)) per axis; taps bounded
+    below e^-6 (~2.5e-3) are dropped at trace time. At the default
+    radius=2, rb=1, s=2, k_max=1 this prunes the 7x7 window to exactly
+    the reference's 5x5 (DeBayerKernels.cu:317).
+  * PLANE-DOMAIN RAW MERGE (``merge_burst_raw_planes``): the RAW path's
+    residual/certainty/omega fields are constant per 2x2 Bayer block
+    (they are half-resolution estimates), and even-integer warps of the
+    mosaic are integer warps of its four half-res CFA planes — so the
+    whole accumulation runs at half resolution per plane: ~4x less
+    elementwise volume and no wasted multiplies against zero CFA masks.
 
 Weight model matches models.merge (true-displacement weights
 w = exp(-1/2 d^T Omega^-1 d) x certainty); parity with the gather-based
@@ -22,10 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multi_frame_super_resolution_tpu.ops.warp_fast import (
-    _shift2d,
-    upsample_nearest,
-)
+from multi_frame_super_resolution_tpu.ops.warp_fast import _shift2d
 
 
 def _output_phase_offsets(s: int) -> np.ndarray:
@@ -33,6 +46,32 @@ def _output_phase_offsets(s: int) -> np.ndarray:
     position of each output phase relative to its nearest input sample."""
     o = np.arange(s, dtype=np.float32)
     return (o + 0.5) / s - 0.5
+
+
+def _active_taps(r_taps: int, residual_bound: float, scale: int, k_max: float):
+    """Static tap pruning: keep taps whose best-case Gaussian weight
+    exceeds e^-6. |d|_min per axis = max(0, |k| - rb - max|phi|) * s in
+    output-grid units; the weight bound uses the largest clamped kernel
+    variance k_max."""
+    phi_max = float(np.max(np.abs(_output_phase_offsets(scale))))
+    taps = []
+    for ky in range(-r_taps, r_taps + 1):
+        for kx in range(-r_taps, r_taps + 1):
+            dy = max(0.0, abs(ky) - residual_bound - phi_max) * scale
+            dx = max(0.0, abs(kx) - residual_bound - phi_max) * scale
+            if (dy * dy + dx * dx) / (2.0 * max(k_max, 1e-6)) <= 6.0:
+                taps.append((ky, kx))
+    return taps
+
+
+def _shift_last2(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Edge-clamped static shift of the LAST TWO axes:
+    out[..., y, x] = img[..., y+dy, x+dx]."""
+    h, w = img.shape[-2], img.shape[-1]
+    pad = max(abs(dy), abs(dx), 1)
+    pads = ((0, 0),) * (img.ndim - 2) + ((pad, pad), (pad, pad))
+    xp = jnp.pad(img, pads, mode="edge")
+    return xp[..., pad + dy : pad + dy + h, pad + dx : pad + dx + w]
 
 
 def merge_burst_fast(
@@ -43,8 +82,9 @@ def merge_burst_fast(
     scale: int,
     radius: int = 2,
     residual_bound: float = 1.0,
+    k_max: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Merge tile-warped frames onto the scale-x output grid.
+    """Merge tile-warped RGB frames onto the scale-x output grid.
 
     warped: (F, H, W, 3) frames already integer-tile-warped to reference
     geometry; residual: (F, H, W, 2) remaining subpixel flow (clamped to
@@ -55,13 +95,14 @@ def merge_burst_fast(
     s = scale
     sh, sw = h * s, w * s
     r_taps = radius + int(np.ceil(residual_bound))
+    taps = _active_taps(r_taps, residual_bound, s, k_max)
 
     # PHASE-SEPARATED accumulation: every output pixel of phase (py, px)
     # shares its nearest input sample with its block, so all tap math runs
     # at INPUT resolution (s^2 phase accumulators) and the s-x output is
     # assembled once at the end — ~s^2 less memory traffic than computing
     # at output resolution.
-    phi = _output_phase_offsets(s)  # (s,) fractional offsets, static
+    phi = _output_phase_offsets(s)
 
     oxx = omega_inv[..., 0]
     oyy = omega_inv[..., 1]
@@ -72,27 +113,34 @@ def merge_burst_fast(
         img, res, cert = frame_data
         res_y = jnp.clip(res[..., 0], -residual_bound, residual_bound)
         res_x = jnp.clip(res[..., 1], -residual_bound, residual_bound)
-        for ky in range(-r_taps, r_taps + 1):
-            for kx in range(-r_taps, r_taps + 1):
-                val = _shift2d(img, ky, kx)
-                cert_k = _shift2d(cert, ky, kx)
-                # displacement (output-grid units) per phase: the phase
-                # part is a static scalar, so the quadratic form expands
-                # around the shared per-pixel residual terms
-                dy0 = (ky - res_y) * s
-                dx0 = (kx - res_x) * s
-                for py in range(s):
-                    dy = dy0 - phi[py] * s
-                    for px in range(s):
-                        dx = dx0 - phi[px] * s
-                        wgt = jnp.exp(
-                            -0.5
-                            * (dx * dx * oxx + dy * dy * oyy + 2.0 * dx * dy * oxy)
-                        )
-                        cw = wgt[..., None] * cert_k
-                        num = num.at[py, px].add(val * cw)
-                        den = den.at[py, px].add(cw)
-        return (num, den), None
+        # per-phase local accumulators keep the whole tap sum inside one
+        # fusible expression (no scatter-adds into the carry)
+        acc_n = [[None] * s for _ in range(s)]
+        acc_d = [[None] * s for _ in range(s)]
+        for ky, kx in taps:
+            val = _shift2d(img, ky, kx)
+            cert_k = _shift2d(cert, ky, kx)
+            dy0 = (ky - res_y) * s
+            dx0 = (kx - res_x) * s
+            for py in range(s):
+                dy = dy0 - phi[py] * s
+                for px in range(s):
+                    dx = dx0 - phi[px] * s
+                    wgt = jnp.exp(
+                        -0.5
+                        * (dx * dx * oxx + dy * dy * oyy + 2.0 * dx * dy * oxy)
+                    )
+                    cw = wgt[..., None] * cert_k
+                    nterm = val * cw
+                    if acc_n[py][px] is None:
+                        acc_n[py][px] = nterm
+                        acc_d[py][px] = cw
+                    else:
+                        acc_n[py][px] = acc_n[py][px] + nterm
+                        acc_d[py][px] = acc_d[py][px] + cw
+        frame_n = jnp.stack([jnp.stack(r, 0) for r in acc_n], 0)
+        frame_d = jnp.stack([jnp.stack(r, 0) for r in acc_d], 0)
+        return (num + frame_n, den + frame_d), None
 
     num0 = jnp.zeros((s, s, h, w, 3), jnp.float32)
     den0 = jnp.zeros((s, s, h, w, 3), jnp.float32)
@@ -107,93 +155,144 @@ def merge_burst_fast(
     return interleave(num), interleave(den)
 
 
-def merge_burst_raw_fast(
-    raw_warped: jnp.ndarray,
+def merge_burst_raw_planes(
+    planes: jnp.ndarray,
     residual: jnp.ndarray,
-    certainty_raw: jnp.ndarray,
+    certainty: jnp.ndarray,
     omega_inv: jnp.ndarray,
+    omega_inv_rb: jnp.ndarray,
     cfa,
     scale: int,
     radius: int = 2,
-    residual_bound: float = 2.0,
-    omega_inv_rb: jnp.ndarray | None = None,
+    residual_bound: float = 1.0,
+    k_max: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Gatherless CFA-aware merge (accumulateImagesSuperRes equivalent).
+    """CFA-aware merge on half-resolution planes
+    (accumulateImagesSuperRes equivalent, DeBayerKernels.cu:378-468).
 
-    raw_warped: (F, H, W) Bayer frames already warped to reference
-    geometry by EVEN integer shifts (so the CFA phase is preserved);
-    residual: (F, H, W, 2) remaining flow in RAW pixels; certainty_raw:
-    (F, H, W, 3) robustness upsampled to RAW resolution; omega_inv:
-    (H, W, 3). Each tap contributes only to its sample's CFA channel via
-    STATIC checkerboard masks — no gathers. ``omega_inv_rb``, when given,
-    supplies wider kernels for the sparser R/B channels (see
-    MergeConfig.k_min_rb).
+    planes: (F, 2, 2, hh, hw) — the four CFA planes of each Bayer frame,
+    already warped to reference geometry by EVEN RAW-integer (= integer
+    plane) shifts so the CFA phase is preserved; residual: (F, hh, hw, 2)
+    remaining flow in RAW pixel units (constant per Bayer block);
+    certainty: (F, hh, hw, 3); omega_inv / omega_inv_rb: (hh, hw, 3)
+    Omega^-1 fields in output-px^2 units for the green and the sparser
+    R/B channels (MergeConfig.k_min_rb). Returns (num, den) at
+    (2*hh*scale, 2*hw*scale, 3).
+
+    A tap (ky, kx) in RAW units lands on plane ((a+ky)%2, (b+kx)%2) at
+    half-res offset ((a+ky)//2, (b+kx)//2) for output parity (a, b); the
+    Gaussian weight depends only on the Bayer block (residual and omega
+    are half-res fields), so each tap needs just two half-res weight
+    maps (green / red-blue) shared by all four parities.
     """
-    from multi_frame_super_resolution_tpu.ops.debayer import cfa_channel_map
-
-    f, h, w = raw_warped.shape
+    f = planes.shape[0]
+    hh, hw = planes.shape[-2], planes.shape[-1]
     s = scale
-    sh, sw = h * s, w * s
     r_taps = radius + int(np.ceil(residual_bound))
-
+    taps = _active_taps(r_taps, residual_bound, s, k_max)
     phi = _output_phase_offsets(s)
-    chan = cfa_channel_map(h, w, cfa)  # (H, W) int
-    eye3 = np.eye(3, dtype=np.float32)
-    if omega_inv_rb is None:
-        omega_inv_rb = omega_inv
-    g_sel = jnp.asarray([0.0, 1.0, 0.0])
-    rb_sel = jnp.asarray([1.0, 0.0, 1.0])
+    pat = np.asarray(cfa)
 
-    def accumulate_frame(carry, frame_data):
-        num, den = carry  # (s, s, H, W, 3)
-        raw, res, cert = frame_data
-        res_y = jnp.clip(res[..., 0], -residual_bound, residual_bound)
-        res_x = jnp.clip(res[..., 1], -residual_bound, residual_bound)
-        for ky in range(-r_taps, r_taps + 1):
-            for kx in range(-r_taps, r_taps + 1):
-                val = _shift2d(raw, ky, kx)
-                cert_k = _shift2d(cert, ky, kx)
-                # static CFA channel of the sampled site: the warp
-                # preserved parity, so chan shifted by (ky, kx) with edge
-                # clamp equals the sampled site's channel
-                ch = np.roll(chan, (-ky, -kx), axis=(0, 1))
-                # (edge rows differ from clamped-shift semantics only in
-                # the R-pixel border; acceptable for the masked channels)
-                onehot = jnp.asarray(eye3[ch])  # (H, W, 3) static
-                contrib_c = cert_k * onehot
-                dy0 = (ky - res_y) * s
-                dx0 = (kx - res_x) * s
+    res_y = jnp.clip(residual[..., 0], -residual_bound, residual_bound)
+    res_x = jnp.clip(residual[..., 1], -residual_bound, residual_bound)
+
+    def quad(dx, dy, om):
+        return jnp.exp(
+            -0.5
+            * (
+                dx * dx * om[..., 0]
+                + dy * dy * om[..., 1]
+                + 2.0 * dx * dy * om[..., 2]
+            )
+        )
+
+    # accumulators: [py][px][a][b][channel] -> (hh, hw) or None
+    acc_n = [[[[[None] * 3 for _ in range(2)] for _ in range(2)]
+              for _ in range(s)] for _ in range(s)]
+    acc_d = [[[[[None] * 3 for _ in range(2)] for _ in range(2)]
+              for _ in range(s)] for _ in range(s)]
+
+    for ky, kx in taps:
+        u = (ky - res_y) * s  # (F, hh, hw)
+        v = (kx - res_x) * s
+        w_g = [[None] * s for _ in range(s)]
+        w_rb = [[None] * s for _ in range(s)]
+        for py in range(s):
+            dy = u - phi[py] * s
+            for px in range(s):
+                dx = v - phi[px] * s
+                w_g[py][px] = quad(dx, dy, omega_inv)
+                w_rb[py][px] = quad(dx, dy, omega_inv_rb)
+        for a in (0, 1):
+            qa, da = (a + ky) % 2, (a + ky) // 2
+            for b in (0, 1):
+                qb, db = (b + kx) % 2, (b + kx) // 2
+                ch = int(pat[qa][qb])
+                val = _shift_last2(planes[:, qa, qb], da, db)
+                cert_s = _shift_last2(certainty[..., ch], da, db)
                 for py in range(s):
-                    dy = dy0 - phi[py] * s
                     for px in range(s):
-                        dx = dx0 - phi[px] * s
+                        w = w_g[py][px] if ch == 1 else w_rb[py][px]
+                        cw = (w * cert_s).sum(0)  # fold frames
+                        nterm = (w * cert_s * val).sum(0)
+                        if acc_n[py][px][a][b][ch] is None:
+                            acc_n[py][px][a][b][ch] = nterm
+                            acc_d[py][px][a][b][ch] = cw
+                        else:
+                            acc_n[py][px][a][b][ch] += nterm
+                            acc_d[py][px][a][b][ch] += cw
 
-                        def quad(om):
-                            return jnp.exp(
-                                -0.5
-                                * (
-                                    dx * dx * om[..., 0]
-                                    + dy * dy * om[..., 1]
-                                    + 2.0 * dx * dy * om[..., 2]
+    zero = jnp.zeros((hh, hw), jnp.float32)
+
+    def assemble(acc):
+        # (py, px, a, b, hh, hw, c) -> (hh, 2, py, hw, 2, px, c) ->
+        # (2*s*hh, 2*s*hw, 3): output row (2i+a)*s + py = i*2s + (a*s+py)
+        stacked = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        jnp.stack(
+                            [
+                                jnp.stack(
+                                    [
+                                        jnp.stack(
+                                            [c if c is not None else zero
+                                             for c in acc[py][px][a][b]],
+                                            axis=-1,
+                                        )
+                                        for b in (0, 1)
+                                    ],
+                                    0,
                                 )
-                            )
-
-                        w3 = (
-                            quad(omega_inv)[..., None] * g_sel
-                            + quad(omega_inv_rb)[..., None] * rb_sel
+                                for a in (0, 1)
+                            ],
+                            0,
                         )
-                        cw = w3 * contrib_c
-                        num = num.at[py, px].add(val[..., None] * cw)
-                        den = den.at[py, px].add(cw)
-        return (num, den), None
+                        for px in range(s)
+                    ],
+                    0,
+                )
+                for py in range(s)
+            ],
+            0,
+        )  # (py, px, a, b, hh, hw, 3)
+        out = stacked.transpose(4, 2, 0, 5, 3, 1, 6)
+        return out.reshape(2 * s * hh, 2 * s * hw, 3)
 
-    num0 = jnp.zeros((s, s, h, w, 3), jnp.float32)
-    den0 = jnp.zeros((s, s, h, w, 3), jnp.float32)
-    (num, den), _ = jax.lax.scan(
-        accumulate_frame, (num0, den0), (raw_warped, residual, certainty_raw)
-    )
+    return assemble(acc_n), assemble(acc_d)
 
-    def interleave(acc):
-        return acc.transpose(2, 0, 3, 1, 4).reshape(sh, sw, 3)
 
-    return interleave(num), interleave(den)
+def raw_to_planes(raw: jnp.ndarray) -> jnp.ndarray:
+    """Bayer mosaic(s) (..., H, W) -> CFA planes (..., 2, 2, H//2, W//2):
+    planes[..., a, b] = raw[..., a::2, b::2]."""
+    h, w = raw.shape[-2], raw.shape[-1]
+    hh, hw = h // 2, w // 2
+    x = raw[..., : hh * 2, : hw * 2].reshape(raw.shape[:-2] + (hh, 2, hw, 2))
+    return jnp.moveaxis(jnp.moveaxis(x, -1, -4), -2, -4)
+
+
+def planes_to_raw(planes: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of raw_to_planes: (..., 2, 2, hh, hw) -> (..., 2*hh, 2*hw)."""
+    hh, hw = planes.shape[-2], planes.shape[-1]
+    x = jnp.moveaxis(jnp.moveaxis(planes, -4, -2), -4, -1)
+    return x.reshape(planes.shape[:-4] + (2 * hh, 2 * hw))

@@ -178,7 +178,7 @@ def _handheld_fast(burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
 
     num, den = merge_burst_fast(
         warped, res_flow, cert, omega_inv, cfg.scale, cfg.merge.radius,
-        cfg.residual_bound,
+        cfg.residual_bound, k_max=cfg.merge.k_max,
     )
     fallback = upsample_int(burst[0], cfg.scale, "bicubic")
     out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
@@ -226,20 +226,42 @@ def handheld_superres_raw(
     return jnp.clip(out, 0.0, 1.0)
 
 
+def _subsample_from_planes(planes: jnp.ndarray, cfa) -> jnp.ndarray:
+    """(F, 2, 2, hh, hw) CFA planes -> half-res RGB (F, hh, hw, 3) with
+    same-channel sites averaged (deBayersSubSample3 semantics)."""
+    import numpy as np
+
+    pat = np.asarray(cfa)
+    out = []
+    for c in range(3):
+        sel = pat == c
+        n = max(int(sel.sum()), 1)
+        acc = None
+        for a in (0, 1):
+            for b in (0, 1):
+                if sel[a][b]:
+                    p = planes[:, a, b] / n
+                    acc = p if acc is None else acc + p
+        out.append(acc if acc is not None else jnp.zeros_like(planes[:, 0, 0]))
+    return jnp.stack(out, axis=-1)
+
+
 def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
-    """Gatherless RAW pipeline: half-res alignment -> EVEN-integer RAW tile
-    warp (CFA phase preserved) -> bounded residual + LK at half res ->
-    robustness on warped half-res frames -> static-tap CFA-masked merge."""
+    """Gatherless RAW pipeline in the CFA-PLANE domain: half-res alignment
+    -> integer PLANE warps (even RAW shifts preserve the CFA phase, so the
+    four half-res planes warp independently by the half-res integer shift)
+    -> bounded residual + LK at half res -> robustness on warped half-res
+    frames -> plane-domain static-tap merge (merge_burst_raw_planes)."""
     import dataclasses
 
     from multi_frame_super_resolution_tpu.models.fast_merge import (
-        merge_burst_raw_fast,
+        merge_burst_raw_planes,
+        raw_to_planes,
     )
     from multi_frame_super_resolution_tpu.ops.warp_fast import (
         tile_shift_decompose,
         tile_warp_select,
         upsample_int,
-        upsample_nearest,
     )
     from multi_frame_super_resolution_tpu.registration.align import (
         align_burst,
@@ -252,7 +274,8 @@ def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarr
     t = cfg.align.tile_size
     hh, hw = h // 2, w // 2
 
-    half = jax.vmap(lambda r: debayer_subsample(r, cfg.cfa_pattern))(raw_burst)
+    planes = raw_to_planes(raw_burst)  # (F, 2, 2, hh, hw)
+    half = _subsample_from_planes(planes, cfg.cfa_pattern)
     gray_half = rgb_to_gray(half)
 
     tile_shifts = (
@@ -262,12 +285,14 @@ def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarr
     )  # half-res units
     int_half, res_tiles = tile_shift_decompose(tile_shifts)
 
-    # EVEN RAW-unit integer warp preserves the CFA phase
-    raw_int = int_half * 2
-    warped_raw = jax.vmap(
-        lambda fr, ints: tile_warp_select(fr, ints, 2 * t, bound=32)
-    )(raw_burst, raw_int)
-    warped_raw = warped_raw.at[0].set(raw_burst[0])
+    # integer plane warp == even RAW-unit warp (CFA phase preserved);
+    # planes fold into the frame axis so nothing small sits on the lane dim
+    stack = planes.reshape(f * 4, hh, hw)
+    ints_rep = jnp.repeat(int_half, 4, axis=0)
+    warped = jax.vmap(
+        lambda fr, ints: tile_warp_select(fr, ints, t, bound=16)
+    )(stack, ints_rep).reshape(f, 2, 2, hh, hw)
+    warped = warped.at[0].set(planes[0])
 
     # residual at half res (<=0.5 px) + optional LK refinement on the
     # warped half-res luma
@@ -275,7 +300,7 @@ def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarr
         return jnp.repeat(jnp.repeat(res, t, axis=0), t, axis=1)[:hh, :hw]
 
     res_half = jax.vmap(lift_half)(res_tiles)
-    warped_half = jax.vmap(lambda r: debayer_subsample(r, cfg.cfa_pattern))(warped_raw)
+    warped_half = _subsample_from_planes(warped, cfg.cfa_pattern)
     gray_wh = rgb_to_gray(warped_half)
     if cfg.use_lk:
         lk_cfg = dataclasses.replace(cfg.lk, bounded_warp=2)
@@ -284,8 +309,7 @@ def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarr
         )(gray_wh, res_half)
         res_half = res_half.at[0].set(0.0)
     # half-res residual clipped to +-residual_bound/2 so the RAW-unit
-    # residual stays within +-residual_bound (keeps the merge tap window
-    # at (2(radius+1)+1)^2)
+    # residual stays within +-residual_bound
     res_half = jnp.clip(
         res_half, -0.5 * cfg.residual_bound, 0.5 * cfg.residual_bound
     )
@@ -297,20 +321,17 @@ def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarr
         )[..., :3]
     )(warped_half, res_half)
     cert_half = cert_half.at[0].set(1.0)
-    cert_raw = jax.vmap(lambda c: upsample_nearest(c, 2))(cert_half)
 
     st = smoothed_structure_tensor(gray_half[0], cfg.st_window)
-    omega_raw = upsample_nearest(kernel_params(st, cfg.merge), 2)
+    omega_half = kernel_params(st, cfg.merge)
     # wider kernels for the 2x-sparser R/B channels
     mc_rb = dataclasses.replace(cfg.merge, k_min=max(cfg.merge.k_min, cfg.merge.k_min_rb))
-    omega_raw_rb = upsample_nearest(kernel_params(st, mc_rb), 2)
+    omega_half_rb = kernel_params(st, mc_rb)
 
-    res_raw = jax.vmap(lambda r: upsample_nearest(r, 2) * 2.0)(res_half)
-
-    num, den = merge_burst_raw_fast(
-        warped_raw, res_raw, cert_raw, omega_raw, cfg.cfa_pattern, cfg.scale,
-        cfg.merge.radius, residual_bound=cfg.residual_bound,
-        omega_inv_rb=omega_raw_rb,
+    num, den = merge_burst_raw_planes(
+        warped, res_half * 2.0, cert_half, omega_half, omega_half_rb,
+        cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
+        residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
     )
     fallback = upsample_int(debayer(raw_burst[0], cfg.cfa_pattern), cfg.scale, "bicubic")
     out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)

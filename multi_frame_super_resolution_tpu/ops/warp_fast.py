@@ -171,6 +171,66 @@ def warp_decomposed(
     return warp_bounded(shifted, residual, residual_bound)
 
 
+def _axis_onehot_shift(
+    img: jnp.ndarray, smap: jnp.ndarray, bound: int, axis: int
+) -> jnp.ndarray:
+    """One-hot select warp along one axis: out[y] = img[clamp(y + smap[y])]
+    with |smap| <= bound (clamped). smap is per-pixel (H, W) int32 but
+    piecewise-constant per tile in practice.
+
+    For large bounds the shift is decomposed as s = c*q + r (c ~ sqrt of
+    the window) and applied in two sequential one-hot passes — nq + c
+    shifted copies instead of 2*bound+1. The coarse pass produces c-1
+    extra rows so the fine pass never re-clamps: for per-row-constant
+    shifts the composition equals the direct form exactly; where the fine
+    offset crosses a tile boundary the coarse index of the neighboring
+    row is used (same tile-crossing-band caveat as the direct form).
+    """
+    h = img.shape[axis]
+    b = bound
+    smap = jnp.clip(smap, -b, b)
+
+    def take(x, start, length):
+        idx = (slice(None),) * axis + (slice(start, start + length),)
+        return x[idx]
+
+    def onehot_mul(stack_, sel, dvals):
+        oh = (sel[None] == dvals.reshape((-1,) + (1,) * sel.ndim)).astype(img.dtype)
+        oh = oh.reshape(oh.shape + (1,) * (img.ndim - sel.ndim))
+        return jnp.sum(stack_ * oh, axis=0)
+
+    if 2 * b + 1 <= 13:
+        pads = [(0, 0)] * img.ndim
+        pads[axis] = (b, b)
+        padded = jnp.pad(img, pads, mode="edge")
+        stack_ = jnp.stack([take(padded, b + d, h) for d in range(-b, b + 1)], 0)
+        return onehot_mul(stack_, smap, jnp.arange(-b, b + 1))
+
+    # two-level decomposition: s = c*q + r, r in [0, c)
+    c = max(2, int(np.round(np.sqrt(2 * b + 1))))
+    q_lo, q_hi = -(b // c) - 1, b // c  # floor(-b/c) .. floor(b/c)
+    ext = c - 1
+    q_map = jnp.floor_divide(smap, c)
+    r_map = smap - c * q_map  # in [0, c)
+
+    # coarse pass on h + ext rows (edge-replicated shift map)
+    pads = [(0, 0)] * img.ndim
+    pads[axis] = (b + c, b + ext)
+    padded = jnp.pad(img, pads, mode="edge")
+    take_last = (slice(None),) * axis + (slice(h - 1, h),)
+    q_ext = jnp.concatenate(
+        [q_map] + [q_map[take_last]] * ext, axis=axis
+    )
+    stack_ = jnp.stack(
+        [take(padded, b + c + c * q, h + ext) for q in range(q_lo, q_hi + 1)], 0
+    )
+    mid = onehot_mul(stack_, q_ext, jnp.arange(q_lo, q_hi + 1))
+
+    # fine pass back to h rows
+    stack_ = jnp.stack([take(mid, r, h) for r in range(c)], 0)
+    return onehot_mul(stack_, r_map, jnp.arange(c))
+
+
 def tile_warp_select(
     img: jnp.ndarray,
     int_shifts: jnp.ndarray,
@@ -182,38 +242,21 @@ def tile_warp_select(
 
     ~8x faster than the XLA gather form on TPU (measured 0.16 ms vs
     1.3 ms per 256x512 image): the selects compile to stacked VPU
-    multiply-adds instead of a general gather. Shifts are clamped to
-    +-bound; frames moving further are mis-warped by the excess (the
-    robustness model then down-weights them).
+    multiply-adds instead of a general gather. Large shift windows are
+    decomposed into coarse x fine one-hot passes (O(sqrt(bound)) shifted
+    copies instead of O(bound), see _axis_onehot_shift). Shifts are
+    clamped to +-bound; frames moving further are mis-warped by the
+    excess (the robustness model then down-weights them).
 
     img: (H, W) or (H, W, C); int_shifts (nty, ntx, 2) int32.
     """
     h, w = img.shape[0], img.shape[1]
     t = tile_size
-    b = bound
-    nd = 2 * b + 1
-    ints = jnp.clip(int_shifts, -b, b)
+    ints = jnp.clip(int_shifts, -bound, bound)
     sy = jnp.repeat(jnp.repeat(ints[..., 0], t, axis=0), t, axis=1)[:h, :w]
     sx = jnp.repeat(jnp.repeat(ints[..., 1], t, axis=0), t, axis=1)[:h, :w]
-    dvals = jnp.arange(-b, b + 1)
-
-    pads = ((b, b), (0, 0)) + ((0, 0),) * (img.ndim - 2)
-    padded = jnp.pad(img, pads, mode="edge")
-    rows = jnp.stack([padded[b + d : b + d + h] for d in range(-b, b + 1)], axis=0)
-    oh = (sy[None] == dvals[:, None, None]).astype(img.dtype)
-    if img.ndim == 3:
-        oh = oh[..., None]
-    out = jnp.sum(rows * oh, axis=0)
-
-    pads = ((0, 0), (b, b)) + ((0, 0),) * (img.ndim - 2)
-    padded = jnp.pad(out, pads, mode="edge")
-    cols = jnp.stack(
-        [padded[:, b + d : b + d + w] for d in range(-b, b + 1)], axis=0
-    )
-    oh = (sx[None] == dvals[:, None, None]).astype(img.dtype)
-    if img.ndim == 3:
-        oh = oh[..., None]
-    return jnp.sum(cols * oh, axis=0)
+    out = _axis_onehot_shift(img, sy, bound, axis=0)
+    return _axis_onehot_shift(out, sx, bound, axis=1)
 
 
 def tile_warp_int(

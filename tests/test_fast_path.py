@@ -239,3 +239,107 @@ def test_handheld_raw_fast_close_to_oracle(rng):
     p = float(psnr(slow[8:-8, 8:-8], fast[8:-8, 8:-8]))
     assert p > 24.0, p
     assert np.isfinite(np.asarray(fast)).all()
+
+
+def _merge_raw_oracle_np(raw_warped, res_raw, cert_raw, omega, omega_rb, cfa,
+                         s, taps, rb):
+    """Independent full-resolution NumPy oracle of the CFA-masked
+    static-tap merge semantics (weights from the per-pixel residual at
+    the OUTPUT pixel; each sample contributes to its own CFA channel;
+    green uses `omega`, R/B use `omega_rb`)."""
+    from multi_frame_super_resolution_tpu.ops.debayer import cfa_channel_map
+
+    f, h, w = raw_warped.shape
+    phi = (np.arange(s) + 0.5) / s - 0.5
+    chan = np.asarray(cfa_channel_map(h, w, cfa))
+    eye3 = np.eye(3, dtype=np.float32)
+
+    def shiftc(img, ky, kx):
+        ys = np.clip(np.arange(h) + ky, 0, h - 1)
+        xs = np.clip(np.arange(w) + kx, 0, w - 1)
+        return img[np.ix_(ys, xs)]
+
+    num = np.zeros((s, s, h, w, 3), np.float32)
+    den = np.zeros((s, s, h, w, 3), np.float32)
+    for fi in range(f):
+        ry = np.clip(res_raw[fi, ..., 0], -rb, rb)
+        rx = np.clip(res_raw[fi, ..., 1], -rb, rb)
+        for ky, kx in taps:
+            val = shiftc(raw_warped[fi], ky, kx)
+            certk = shiftc(cert_raw[fi], ky, kx)
+            ch = shiftc(chan, ky, kx)
+            onehot = eye3[ch]
+            for py in range(s):
+                dy = (ky - ry) * s - phi[py] * s
+                for px in range(s):
+                    dx = (kx - rx) * s - phi[px] * s
+
+                    def quad(om):
+                        return np.exp(
+                            -0.5 * (dx * dx * om[..., 0] + dy * dy * om[..., 1]
+                                    + 2.0 * dx * dy * om[..., 2]))
+
+                    wsel = np.where(ch == 1, quad(omega), quad(omega_rb))
+                    cw = wsel[..., None] * certk * onehot
+                    num[py, px] += val[..., None] * cw
+                    den[py, px] += cw
+    sh, sw = h * s, w * s
+    return (num.transpose(2, 0, 3, 1, 4).reshape(sh, sw, 3),
+            den.transpose(2, 0, 3, 1, 4).reshape(sh, sw, 3))
+
+
+def test_merge_raw_planes_matches_fullres_oracle(rng):
+    from multi_frame_super_resolution_tpu.models.fast_merge import (
+        _active_taps,
+        merge_burst_raw_planes,
+        raw_to_planes,
+    )
+
+    f, h, w, s = 3, 24, 32, 2
+    hh, hw = h // 2, w // 2
+    cfa = ((0, 1), (1, 2))
+    raw = rng.random((f, h, w)).astype(np.float32)
+    res_half = (rng.random((f, hh, hw, 2)).astype(np.float32) - 0.5) * 2.0
+    cert_half = rng.random((f, hh, hw, 3)).astype(np.float32)
+    om_half = np.stack(
+        [0.5 + rng.random((hh, hw)), 0.5 + rng.random((hh, hw)),
+         0.1 * (rng.random((hh, hw)) - 0.5)], axis=-1).astype(np.float32)
+    om_rb_half = np.broadcast_to(
+        np.asarray([1.0, 1.0, 0.0], np.float32), (hh, hw, 3)).copy()
+
+    rb, radius = 1.0, 2
+    taps = _active_taps(radius + 1, rb, s, k_max=1.0)
+    assert len(taps) == 25  # pruned exactly to the reference 5x5
+
+    num_p, den_p = merge_burst_raw_planes(
+        raw_to_planes(jnp.asarray(raw)), jnp.asarray(res_half),
+        jnp.asarray(cert_half), jnp.asarray(om_half), jnp.asarray(om_rb_half),
+        cfa, s, radius, residual_bound=rb, k_max=1.0)
+
+    up = lambda a: np.repeat(np.repeat(a, 2, axis=-3 if a.ndim > 3 else 0),
+                             2, axis=-2 if a.ndim > 3 else 1)
+    res_raw = np.repeat(np.repeat(res_half, 2, axis=1), 2, axis=2)
+    cert_raw = np.repeat(np.repeat(cert_half, 2, axis=1), 2, axis=2)
+    om = np.repeat(np.repeat(om_half, 2, axis=0), 2, axis=1)
+    om_rb = np.repeat(np.repeat(om_rb_half, 2, axis=0), 2, axis=1)
+    num_o, den_o = _merge_raw_oracle_np(
+        raw, res_raw, cert_raw, om, om_rb, cfa, s, taps, rb)
+
+    m = 2 * (radius + 1) * s  # border band where clamp semantics differ
+    np.testing.assert_allclose(
+        np.asarray(num_p)[m:-m, m:-m], num_o[m:-m, m:-m], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(den_p)[m:-m, m:-m], den_o[m:-m, m:-m], rtol=2e-5, atol=2e-5)
+
+
+def test_raw_planes_roundtrip(rng):
+    from multi_frame_super_resolution_tpu.models.fast_merge import (
+        planes_to_raw,
+        raw_to_planes,
+    )
+
+    raw = rng.random((3, 8, 12)).astype(np.float32)
+    planes = raw_to_planes(jnp.asarray(raw))
+    assert planes.shape == (3, 2, 2, 4, 6)
+    np.testing.assert_array_equal(np.asarray(planes[:, 1, 0]), raw[:, 1::2, 0::2])
+    np.testing.assert_array_equal(np.asarray(planes_to_raw(planes)), raw)

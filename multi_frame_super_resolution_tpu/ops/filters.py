@@ -80,13 +80,58 @@ def conv2d(img: jnp.ndarray, kernel: jnp.ndarray, border: str = "replicate") -> 
     return restore(y)
 
 
+def _band_matrix(n: int, taps: np.ndarray, border: str) -> np.ndarray:
+    """(n, n) matrix applying a 1-D correlation with the given taps and
+    border handling: out[i] = sum_t taps[t] * img[border(i + t - r)]."""
+    k = len(taps)
+    r = k // 2
+    b = np.zeros((n, n), np.float32)
+    for t in range(k):
+        src = np.arange(n) + t - r
+        if border == "replicate":
+            src = np.clip(src, 0, n - 1)
+            np.add.at(b, (np.arange(n), src), float(taps[t]))
+        else:  # zero
+            ok = (src >= 0) & (src < n)
+            np.add.at(b, (np.arange(n)[ok], src[ok]), float(taps[t]))
+    return b
+
+
+# Above this edge length a banded matmul does too many useless FLOPs
+# (cost n/k vs the conv's taps); below it the MXU beats the VPU/conv
+# lowering by a wide margin for depthwise few-channel filters.
+_BAND_MATMUL_MAX_DIM = 384
+
+
+def _filter_axis(img: jnp.ndarray, taps, axis: int, border: str) -> jnp.ndarray:
+    """1-D correlation along `axis` (0 or 1 of the image plane).
+
+    TPU note: depthwise grouped convs with few channels lower poorly
+    (the MXU wants dense contractions), so for small static edge lengths
+    the filter is applied as a banded-matrix matmul — one dense MXU
+    contraction with the border semantics baked into the band."""
+    n = img.shape[axis]
+    try:
+        taps_np = np.asarray(taps, np.float32).reshape(-1)
+    except Exception:  # traced taps: stay on the conv path
+        kern = jnp.reshape(taps, (-1, 1)) if axis == 0 else jnp.reshape(taps, (1, -1))
+        return conv2d(img, kern, border)
+    if n <= _BAND_MATMUL_MAX_DIM:
+        b = jnp.asarray(_band_matrix(n, taps_np, border))
+        sub = "ij,jwc->iwc" if axis == 0 else "ij,hjc->hic"
+        if img.ndim == 2:
+            sub = "ij,jw->iw" if axis == 0 else "ij,hj->hi"
+        return jnp.einsum(sub, b, img, precision=lax.Precision.HIGHEST)
+    kern = taps_np.reshape(-1, 1) if axis == 0 else taps_np.reshape(1, -1)
+    return conv2d(img, jnp.asarray(kern), border)
+
+
 def separable_filter(
     img: jnp.ndarray, ky: jnp.ndarray, kx: jnp.ndarray, border: str = "replicate"
 ) -> jnp.ndarray:
-    """Apply a separable filter as two rank-1 depthwise convs."""
-    kyj = jnp.asarray(ky).reshape(-1, 1)
-    kxj = jnp.asarray(kx).reshape(1, -1)
-    return conv2d(conv2d(img, kyj, border), kxj, border)
+    """Apply a separable filter along rows then columns (see _filter_axis
+    for the banded-matmul TPU lowering)."""
+    return _filter_axis(_filter_axis(img, ky, 0, border), kx, 1, border)
 
 
 def gaussian_blur(img: jnp.ndarray, sigma: float, size: int | None = None) -> jnp.ndarray:
@@ -96,7 +141,7 @@ def gaussian_blur(img: jnp.ndarray, sigma: float, size: int | None = None) -> jn
 
 def box_filter(img: jnp.ndarray, size: int, normalize: bool = True) -> jnp.ndarray:
     """Box filter (NPP boxFilter / kernel.cu:148-218 equivalent)."""
-    k = jnp.ones((size,), jnp.float32)
+    k = np.ones((size,), np.float32)
     if normalize:
         k = k / size
     return separable_filter(img, k, k)

@@ -333,7 +333,11 @@ def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarr
         cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
         residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
     )
-    fallback = upsample_int(debayer(raw_burst[0], cfg.cfa_pattern), cfg.scale, "bicubic")
+    # fallback only shows through where den < weight_threshold (sparse,
+    # border/extreme-motion pixels); the half-res RGB already computed for
+    # alignment upsampled 2s-x is visually equivalent there and saves the
+    # full-res demosaic (~1 ms in-context on v5e)
+    fallback = upsample_int(half[0], 2 * cfg.scale, "bilinear")
     out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
     if cfg.gamma:
         out = srgb_gamma(out)

@@ -88,6 +88,13 @@ def lk_refine(
         warped = warp(moved, flow)
         return flow + lk_step(ref, warped, cfg, ref_derivs)
 
+    if cfg.iterations <= 4:
+        # unroll small static iteration counts: lets XLA fuse across
+        # iterations and drops the loop-carry copies
+        flow = flow0
+        for i in range(cfg.iterations):
+            flow = body(i, flow)
+        return flow
     return jax.lax.fori_loop(0, cfg.iterations, body, flow0)
 
 

@@ -286,41 +286,47 @@ def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarr
     int_half, res_tiles = tile_shift_decompose(tile_shifts)
 
     # integer plane warp == even RAW-unit warp (CFA phase preserved);
-    # planes fold into the frame axis so nothing small sits on the lane dim
-    stack = planes.reshape(f * 4, hh, hw)
-    ints_rep = jnp.repeat(int_half, 4, axis=0)
-    warped = jax.vmap(
+    # planes fold into the frame axis so nothing small sits on the lane
+    # dim. The reference frame needs no warp/LK/robustness (its shift is
+    # zero, its certainty one) — only the F-1 alternates are processed.
+    stack = planes[1:].reshape((f - 1) * 4, hh, hw)
+    ints_rep = jnp.repeat(int_half[1:], 4, axis=0)
+    warped_alts = jax.vmap(
         lambda fr, ints: tile_warp_select(fr, ints, t, bound=16)
-    )(stack, ints_rep).reshape(f, 2, 2, hh, hw)
-    warped = warped.at[0].set(planes[0])
+    )(stack, ints_rep).reshape(f - 1, 2, 2, hh, hw)
+    warped = jnp.concatenate([planes[:1], warped_alts], axis=0)
 
     # residual at half res (<=0.5 px) + optional LK refinement on the
     # warped half-res luma
     def lift_half(res):
         return jnp.repeat(jnp.repeat(res, t, axis=0), t, axis=1)[:hh, :hw]
 
-    res_half = jax.vmap(lift_half)(res_tiles)
+    res_alts = jax.vmap(lift_half)(res_tiles[1:])
     warped_half = _subsample_from_planes(warped, cfg.cfa_pattern)
     gray_wh = rgb_to_gray(warped_half)
     if cfg.use_lk:
         lk_cfg = dataclasses.replace(cfg.lk, bounded_warp=2)
-        res_half = jax.vmap(
+        res_alts = jax.vmap(
             lambda g, fl: lk_refine(gray_wh[0], g, fl, lk_cfg)
-        )(gray_wh, res_half)
-        res_half = res_half.at[0].set(0.0)
+        )(gray_wh[1:], res_alts)
     # half-res residual clipped to +-residual_bound/2 so the RAW-unit
     # residual stays within +-residual_bound
-    res_half = jnp.clip(
-        res_half, -0.5 * cfg.residual_bound, 0.5 * cfg.residual_bound
+    res_alts = jnp.clip(
+        res_alts, -0.5 * cfg.residual_bound, 0.5 * cfg.residual_bound
+    )
+    res_half = jnp.concatenate(
+        [jnp.zeros((1, hh, hw, 2), jnp.float32), res_alts], axis=0
     )
 
     # robustness on the warped half-res frames
-    cert_half = jax.vmap(
+    cert_alts = jax.vmap(
         lambda mv, fl: robustness_mask(
             warped_half[0], mv, fl, cfg.robustness, bounded=2
         )[..., :3]
-    )(warped_half, res_half)
-    cert_half = cert_half.at[0].set(1.0)
+    )(warped_half[1:], res_alts)
+    cert_half = jnp.concatenate(
+        [jnp.ones((1, hh, hw, 3), jnp.float32), cert_alts], axis=0
+    )
 
     st = smoothed_structure_tensor(gray_half[0], cfg.st_window)
     omega_half = kernel_params(st, cfg.merge)

@@ -134,9 +134,13 @@ def align_burst(
 ) -> jnp.ndarray:
     """Align every frame of a grayscale burst (F, H, W) against the
     reference frame. Returns per-tile shifts (F, nty, ntx, 2); the
-    reference frame's entry is zero."""
-    shifts = align_frames(burst[ref_index], burst, cfg)
-    return shifts.at[ref_index].set(0.0)
+    reference frame's entry is zero (and is not wastefully searched)."""
+    alts = jnp.concatenate([burst[:ref_index], burst[ref_index + 1 :]], axis=0)
+    shifts = align_frames(burst[ref_index], alts, cfg)
+    zero = jnp.zeros_like(shifts[:1])
+    return jnp.concatenate(
+        [shifts[:ref_index], zero, shifts[ref_index:]], axis=0
+    )
 
 
 def align_burst_consistent(

@@ -17,7 +17,17 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.4.35 promotes shard_map out of experimental (and renames
+    # check_rep -> check_vma)
+    from jax import shard_map as _shard_map_new
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map_new(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 
 def _exchange_halos(x: jnp.ndarray, halo: int, axis: str):
@@ -69,3 +79,137 @@ def sharded_rows(mesh: Mesh, axis: str = "spatial") -> NamedSharding:
     """Sharding placing an image's leading (row) axis on the spatial mesh
     axis."""
     return NamedSharding(mesh, P(axis))
+
+
+def _exchange_halos_axis(x: jnp.ndarray, halo: int, mesh_axis: str, dim: int):
+    """(from_prev, from_next) halo blocks along array dimension `dim` of
+    the local block, exchanged with mesh neighbors (replicated edges at
+    the global border)."""
+    n = lax.axis_size(mesh_axis)
+    idx = lax.axis_index(mesh_axis)
+
+    def take(a, sl):
+        index = [slice(None)] * a.ndim
+        index[dim] = sl
+        return a[tuple(index)]
+
+    top = take(x, slice(0, halo))
+    bot = take(x, slice(x.shape[dim] - halo, x.shape[dim]))
+    from_prev = lax.ppermute(bot, mesh_axis, [(i, i + 1) for i in range(n - 1)])
+    from_next = lax.ppermute(top, mesh_axis, [(i + 1, i) for i in range(n - 1)])
+    edge_top = jnp.repeat(take(x, slice(0, 1)), halo, axis=dim)
+    edge_bot = jnp.repeat(
+        take(x, slice(x.shape[dim] - 1, x.shape[dim])), halo, axis=dim
+    )
+    from_prev = jnp.where(idx == 0, edge_top, from_prev)
+    from_next = jnp.where(idx == n - 1, edge_bot, from_next)
+    return from_prev, from_next
+
+
+def pipeline_halo(cfg, warp_bound: int = 16) -> int:
+    """Row halo (in input pixels) for running the handheld SR pipeline on
+    a row shard: covers the tile-warp clamp bound, the LK window + its
+    bounded warp, the merge tap window, and the robustness 5x5 spread —
+    rounded up to a whole number of alignment tiles so the shard's tile
+    grid coincides with the global grid."""
+    import numpy as np
+
+    t = cfg.align.tile_size
+    reach = (
+        warp_bound
+        + 2 * cfg.lk.half_window + 2
+        + cfg.merge.radius + int(np.ceil(cfg.residual_bound))
+        + 5
+    )
+    return t * int(np.ceil(reach / t))
+
+
+def handheld_superres_sharded(
+    burst: jnp.ndarray,
+    cfg,
+    mesh: Mesh,
+    axis: str = "spatial",
+    halo: int | None = None,
+) -> jnp.ndarray:
+    """Row-sharded handheld burst SR: the multi-chip path for frames
+    larger than one chip (the reference's tile decomposition,
+    kernel.cu:264-378, lifted to the device mesh).
+
+    burst: (F, H, W, 3) with H row-sharded over `axis`. Each shard runs
+    the full single-chip pipeline (models.handheld.handheld_superres) on
+    its halo-extended row block — the halo is a whole number of alignment
+    tiles, so every interior tile sees exactly the data it would see in a
+    global run — and crops the scaled halo from the output. Requires
+    H/n_shards and the halo to be multiples of the alignment tile size.
+    """
+    from multi_frame_super_resolution_tpu.models.handheld import handheld_superres
+
+    n = mesh.shape[axis]
+    f, h, w = burst.shape[:3]
+    t = cfg.align.tile_size
+    if halo is None:
+        halo = pipeline_halo(cfg)
+    if (h // n) % t or halo % t:
+        raise ValueError(
+            f"shard height {h // n} and halo {halo} must be multiples of "
+            f"tile_size {t}"
+        )
+    s = cfg.scale
+
+    def local(x):  # (F, h_local, W, 3)
+        prev, nxt = _exchange_halos_axis(x, halo, axis, dim=1)
+        ext = jnp.concatenate([prev, x, nxt], axis=1)
+        out = handheld_superres(ext, cfg)
+        return out[halo * s : out.shape[0] - halo * s]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis),),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    return fn(burst)
+
+
+def handheld_superres_raw_sharded(
+    raw_burst: jnp.ndarray,
+    cfg,
+    mesh: Mesh,
+    axis: str = "spatial",
+    halo: int | None = None,
+) -> jnp.ndarray:
+    """Row-sharded RAW handheld SR (see handheld_superres_sharded). The
+    halo and shard height must be multiples of 2*tile_size in RAW rows
+    (the alignment tiles live on the half-resolution grid and the CFA
+    phase must be preserved across shard boundaries)."""
+    from multi_frame_super_resolution_tpu.models.handheld import (
+        handheld_superres_raw,
+    )
+
+    n = mesh.shape[axis]
+    f, h, w = raw_burst.shape
+    t2 = 2 * cfg.align.tile_size
+    if halo is None:
+        halo = 2 * pipeline_halo(cfg)
+    if (h // n) % t2 or halo % t2:
+        raise ValueError(
+            f"RAW shard height {h // n} and halo {halo} must be multiples "
+            f"of 2*tile_size = {t2}"
+        )
+    s = cfg.scale
+
+    def local(x):  # (F, h_local, W)
+        prev, nxt = _exchange_halos_axis(x, halo, axis, dim=1)
+        ext = jnp.concatenate([prev, x, nxt], axis=1)
+        out = handheld_superres_raw(ext, cfg)
+        return out[halo * s : out.shape[0] - halo * s]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis),),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    return fn(raw_burst)

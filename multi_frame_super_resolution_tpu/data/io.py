@@ -49,8 +49,18 @@ def imread_u16(path: PathLike) -> np.ndarray:
     """Read a 16-bit image (e.g. TIFF) as float32 in [0, 1].
 
     Mirrors the reference's IMREAD_ANYDEPTH + convertTo(1/65535) path
-    (polar_defog.cpp:80-81,145-146).
+    (polar_defog.cpp:80-81,145-146). Uses the native decoder's baseline
+    TIFF reader when built (native/mfsr_native.cpp::decode_tiff); PIL
+    covers compressed TIFF variants.
     """
+    from multi_frame_super_resolution_tpu.data import native
+
+    meta = native.probe(os.fspath(path))
+    if meta is not None:
+        h, w, c, _bits = meta
+        out = native.imread_native(os.fspath(path), gray=(c == 1))
+        if out is not None:
+            return out
     with Image.open(path) as im:
         arr = np.asarray(im)
     if arr.dtype == np.uint16:

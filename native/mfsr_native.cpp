@@ -9,6 +9,7 @@
 //
 // Build: `make -C native` (produces libmfsr_native.so).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -147,12 +148,150 @@ int decode_jpeg(const char* path, ImageU16* img) {
   return 0;
 }
 
+// ---- baseline TIFF (strip-based, uncompressed, 8/16-bit, chunky) ----
+// Covers the reference defog app's 16-bit TIFF pair inputs
+// (polar_defog.cpp:80-81, read there with cv::IMREAD_ANYDEPTH).
+
+struct TiffReader {
+  std::vector<uint8_t> buf;
+  bool little = true;
+
+  uint16_t u16(size_t off) const {
+    if (off + 2 > buf.size()) return 0;
+    return little ? static_cast<uint16_t>(buf[off] | (buf[off + 1] << 8))
+                  : static_cast<uint16_t>((buf[off] << 8) | buf[off + 1]);
+  }
+  uint32_t u32(size_t off) const {
+    if (off + 4 > buf.size()) return 0;
+    return little ? (static_cast<uint32_t>(buf[off]) |
+                     (static_cast<uint32_t>(buf[off + 1]) << 8) |
+                     (static_cast<uint32_t>(buf[off + 2]) << 16) |
+                     (static_cast<uint32_t>(buf[off + 3]) << 24))
+                  : ((static_cast<uint32_t>(buf[off]) << 24) |
+                     (static_cast<uint32_t>(buf[off + 1]) << 16) |
+                     (static_cast<uint32_t>(buf[off + 2]) << 8) |
+                     static_cast<uint32_t>(buf[off + 3]));
+  }
+};
+
+// read entry value(s): TIFF types 1=BYTE 3=SHORT 4=LONG; values inline
+// when they fit in 4 bytes, else at the pointed offset
+std::vector<uint32_t> tiff_values(const TiffReader& t, size_t entry) {
+  const uint16_t type = t.u16(entry + 2);
+  const uint32_t count = t.u32(entry + 4);
+  const size_t unit = type == 3 ? 2 : (type == 4 ? 4 : 1);
+  if (type != 1 && type != 3 && type != 4) return {};
+  const size_t total = unit * count;
+  size_t off = entry + 8;
+  if (total > 4) off = t.u32(entry + 8);
+  std::vector<uint32_t> vals;
+  vals.reserve(count);
+  for (uint32_t i = 0; i < count; ++i) {
+    if (unit == 2)
+      vals.push_back(t.u16(off + 2 * i));
+    else if (unit == 4)
+      vals.push_back(t.u32(off + 4 * i));
+    else
+      vals.push_back(off + i < t.buf.size() ? t.buf[off + i] : 0);
+  }
+  return vals;
+}
+
+int decode_tiff(const char* path, ImageU16* img) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return kErrOpen;
+  TiffReader t;
+  std::fseek(fp, 0, SEEK_END);
+  const long size = std::ftell(fp);
+  std::fseek(fp, 0, SEEK_SET);
+  if (size <= 8) {
+    std::fclose(fp);
+    return kErrFormat;
+  }
+  t.buf.resize(static_cast<size_t>(size));
+  const size_t got = std::fread(t.buf.data(), 1, t.buf.size(), fp);
+  std::fclose(fp);
+  if (got != t.buf.size()) return kErrFormat;
+
+  if (t.buf[0] == 'I' && t.buf[1] == 'I')
+    t.little = true;
+  else if (t.buf[0] == 'M' && t.buf[1] == 'M')
+    t.little = false;
+  else
+    return kErrFormat;
+  if (t.u16(2) != 42) return kErrFormat;
+
+  const uint32_t ifd = t.u32(4);
+  const uint16_t n_entries = t.u16(ifd);
+  uint32_t width = 0, height = 0, bits = 8, compression = 1, spp = 1;
+  uint32_t rows_per_strip = 0xFFFFFFFFu, planar = 1;
+  std::vector<uint32_t> strip_offsets, strip_counts;
+  for (uint16_t i = 0; i < n_entries; ++i) {
+    const size_t e = ifd + 2 + 12 * static_cast<size_t>(i);
+    const uint16_t tag = t.u16(e);
+    const auto vals = tiff_values(t, e);
+    if (vals.empty()) continue;
+    switch (tag) {
+      case 256: width = vals[0]; break;
+      case 257: height = vals[0]; break;
+      case 258: bits = vals[0]; break;
+      case 259: compression = vals[0]; break;
+      case 273: strip_offsets = vals; break;
+      case 277: spp = vals[0]; break;
+      case 278: rows_per_strip = vals[0]; break;
+      case 279: strip_counts = vals; break;
+      case 284: planar = vals[0]; break;
+      default: break;
+    }
+  }
+  if (!width || !height || strip_offsets.empty()) return kErrFormat;
+  if (compression != 1 || planar != 1) return kErrFormat;  // baseline only
+  if (bits != 8 && bits != 16) return kErrFormat;
+  if (spp != 1 && spp != 3 && spp != 4) return kErrFormat;
+
+  img->h = static_cast<int>(height);
+  img->w = static_cast<int>(width);
+  img->c = static_cast<int>(spp > 3 ? 3 : spp);
+  img->bit_depth = static_cast<int>(bits);
+  img->data.assign(static_cast<size_t>(height) * width * img->c, 0);
+
+  const size_t bytes_per_px = (bits / 8) * spp;
+  const size_t row_bytes = bytes_per_px * width;
+  uint32_t row = 0;
+  for (size_t s = 0; s < strip_offsets.size() && row < height; ++s) {
+    size_t off = strip_offsets[s];
+    const uint32_t rows_here =
+        rows_per_strip == 0xFFFFFFFFu
+            ? height
+            : std::min<uint32_t>(rows_per_strip, height - row);
+    if (s < strip_counts.size() &&
+        strip_counts[s] < rows_here * row_bytes)
+      return kErrFormat;
+    for (uint32_t r = 0; r < rows_here && row < height; ++r, ++row) {
+      if (off + row_bytes > t.buf.size()) return kErrFormat;
+      uint16_t* dst =
+          img->data.data() + static_cast<size_t>(row) * width * img->c;
+      for (uint32_t x = 0; x < width; ++x) {
+        for (int ch = 0; ch < img->c; ++ch) {
+          const size_t po = off + x * bytes_per_px + ch * (bits / 8);
+          dst[x * img->c + ch] =
+              bits == 16 ? t.u16(po) : static_cast<uint16_t>(t.buf[po]);
+        }
+      }
+      off += row_bytes;
+    }
+  }
+  return 0;
+}
+
 int decode_any(const char* path, ImageU16* img) {
   const std::string p(path);
   if (has_suffix(p, ".png")) return decode_png(path, img);
   if (has_suffix(p, ".jpg") || has_suffix(p, ".jpeg")) return decode_jpeg(path, img);
-  // try png then jpeg by content
+  if (has_suffix(p, ".tif") || has_suffix(p, ".tiff")) return decode_tiff(path, img);
+  // try by content
   if (decode_png(path, img) == 0) return 0;
+  if (decode_tiff(path, img) == 0) return 0;
   return decode_jpeg(path, img);
 }
 
@@ -245,6 +384,18 @@ int mfsr_probe(const char* path, int* h, int* w, int* c, int* bit_depth) {
   }
 
   std::fclose(fp);
+
+  // TIFF: the whole file is memory-read anyway; decode and report dims
+  {
+    ImageU16 img;
+    if (decode_tiff(path, &img) == 0) {
+      *h = img.h;
+      *w = img.w;
+      *c = img.c;
+      *bit_depth = img.bit_depth;
+      return 0;
+    }
+  }
   return kErrFormat;
 }
 

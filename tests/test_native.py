@@ -103,3 +103,36 @@ def test_reference_burst_native_matches_pil():
     with Image.open(paths[0]) as im:
         pil = np.asarray(im.convert("RGB"), np.float32) / 255.0
     np.testing.assert_allclose(burst[0], pil, atol=1e-6)
+
+
+@requires_native
+def test_tiff16_gray_roundtrip(tmp_path, rng):
+    """polar_defog's input format: 16-bit TIFF decoded natively
+    (polar_defog.cpp:80-81; native/mfsr_native.cpp::decode_tiff)."""
+    data = (rng.random((37, 53)) * 65535).astype(np.uint16)
+    p = tmp_path / "d.tiff"
+    Image.fromarray(data).save(p)
+    assert native.probe(str(p)) == (37, 53, 1, 16)
+    out = native.imread_native(str(p), gray=True)
+    np.testing.assert_allclose(out, data.astype(np.float32) / 65535.0, atol=1e-6)
+
+
+@requires_native
+def test_tiff8_rgb_roundtrip(tmp_path, rng):
+    data = (rng.random((21, 33, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "c.tif"
+    Image.fromarray(data).save(p)
+    assert native.probe(str(p)) == (21, 33, 3, 8)
+    out = native.imread_native(str(p))
+    np.testing.assert_allclose(out, data.astype(np.float32) / 255.0, atol=1e-6)
+
+
+@requires_native
+def test_imread_u16_uses_native_tiff(tmp_path, rng):
+    from multi_frame_super_resolution_tpu.data import imread_u16
+
+    data = (rng.random((16, 24)) * 65535).astype(np.uint16)
+    p = tmp_path / "u.tiff"
+    Image.fromarray(data).save(p)
+    out = imread_u16(p)
+    np.testing.assert_allclose(out, data.astype(np.float32) / 65535.0, atol=1e-6)

@@ -41,7 +41,7 @@ def main(argv=None) -> int:
 
     from multi_frame_super_resolution_tpu.config import BTVConfig
     from multi_frame_super_resolution_tpu.data import imwrite, load_burst
-    from multi_frame_super_resolution_tpu.models import btvl1_superres
+    from multi_frame_super_resolution_tpu.models import btvl1_video
     from multi_frame_super_resolution_tpu.ops.filters import laplacian_sharpen
 
     burst_np = load_burst(input_name)
@@ -52,30 +52,29 @@ def main(argv=None) -> int:
     burst = jnp.asarray(burst_np)
     cfg = BTVConfig(scale=2, iterations=iterations, temporal_radius=1,
                     optical_flow=opt_flow)
-    # the per-frame scale argument defeats remote result caching and the
+    # one vmapped solve produces the whole cycle of nextFrame outputs
+    # (multi_frame_sr.cpp:187-203 emits frames i%num cyclically); the
+    # per-cycle scale argument defeats remote result caching and the
     # scalar readback is the reliable completion fence (BENCH_NOTES.md)
-    sr = jax.jit(
-        lambda b, t, s: btvl1_superres(b * s, t, cfg), static_argnums=(1,)
-    )
+    sr_cycle = jax.jit(lambda b, s: btvl1_video(b * s, cfg))
 
     num_times = 10
     real_times = 5
-    start_i = (num_times - real_times) * num_images
 
     import jax.numpy as _jnp
 
-    result = None
+    results = None
     t_start = None
-    for i in range(num_images * num_times):
-        if i == start_i:
+    for cycle in range(num_times):
+        if cycle == num_times - real_times:
             t_start = time.perf_counter()
-        result = sr(burst, i % num_images, jnp.float32(1.0 + 1e-7 * i))
-        float(_jnp.sum(result))
+        results = sr_cycle(burst, jnp.float32(1.0 + 1e-7 * cycle))
+        float(_jnp.sum(results))
     elapsed = time.perf_counter() - t_start
     print(f"{elapsed} sec")
-    print(f"{(num_images * num_times - start_i) / elapsed} FPS")
+    print(f"{(num_images * real_times) / elapsed} FPS")
 
-    out = np.asarray(result)
+    out = np.asarray(results[-1])
     imwrite(f"{input_name}_{opt_flow}_sr_result.png", out)
     sharpened = np.asarray(laplacian_sharpen(jnp.asarray(out)))
     imwrite(f"{input_name}_{opt_flow}_sr2_result.png", sharpened)

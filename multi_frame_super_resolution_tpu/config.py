@@ -64,6 +64,10 @@ class LKConfig:
     # >0: warp with the gatherless bounded-residual scheme (flows clamped
     # to +-bounded_warp px) instead of the general gather warp
     bounded_warp: int = 0
+    # >0: handle LARGE flows gatherlessly by decomposing each iteration's
+    # flow into per-tile integer shifts (one-hot select warp) + a bounded
+    # residual (warp_tile = tile size; residual clamp = max(bounded_warp, 2))
+    warp_tile: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

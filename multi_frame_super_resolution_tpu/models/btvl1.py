@@ -56,55 +56,13 @@ def _block_mean_adjoint(r: jnp.ndarray, s: int) -> jnp.ndarray:
     return rep / (s * s)
 
 
-def _make_warp(hr_flow: jnp.ndarray, cfg: BTVConfig):
-    """Build a warp closure for a fixed flow. The fast path decomposes the
-    flow ONCE into per-tile integer shifts + bounded residual and warps
-    with the gatherless one-hot select (ops/warp_fast.py); the flows are
-    constant across the solver iterations, so the decomposition is hoisted
-    out of the iteration loop entirely."""
-    if not cfg.fast:
-        return lambda x: warp_backward(x, hr_flow)
-    from multi_frame_super_resolution_tpu.ops.warp_fast import (
-        decompose_flow,
-        tile_warp_select,
-        warp_bounded,
-    )
-
-    tile_int, residual = decompose_flow(hr_flow, cfg.warp_tile)
-    residual = jnp.clip(residual, -cfg.warp_residual_bound, cfg.warp_residual_bound)
-
-    def warp(x):
-        shifted = tile_warp_select(x, tile_int, cfg.warp_tile)
-        return warp_bounded(shifted, residual, cfg.warp_residual_bound)
-
-    return warp
-
-
-def _degrade(x_hr: jnp.ndarray, warp, cfg: BTVConfig) -> jnp.ndarray:
-    """A x = decimate(blur(warp(x))) onto frame-k's low-res grid. The
-    decimation is a block mean, which keeps the HR/LR pixel grids
-    center-aligned (matching the resize/downsample conventions of ops/)."""
-    warped = warp(x_hr)
-    blurred = _blur(warped, cfg)
-    return _block_mean(blurred, cfg.scale)
-
-
-def _degrade_adjoint(r_lr: jnp.ndarray, warp_inv, cfg: BTVConfig) -> jnp.ndarray:
-    """A^T r = warp_back(blur(decimation-adjoint(r))). The warp adjoint is
-    approximated by warping with the negated flow (standard in BTVL1
-    implementations)."""
-    up = _block_mean_adjoint(r_lr, cfg.scale)
-    blurred = _blur(up, cfg)
-    return warp_inv(blurred)
-
-
 def _btv_gradient(x: jnp.ndarray, cfg: BTVConfig) -> jnp.ndarray:
     """Subgradient of the bilateral TV prior
     sum_{(l,m)!=0, |l|,|m|<=p} alpha^(|l|+|m|) |x - S_x^l S_y^m x|
     in adjoint-correct form: for each offset, sign(x - shifted) minus the
     back-shifted sign image."""
     p = cfg.btv_kernel_size // 2
-    grad = jnp.zeros_like(x)
+    grad = None
     h, w = x.shape[0], x.shape[1]
     trailing = ((0, 0),) * (x.ndim - 2)
     xp = jnp.pad(x, ((p, p), (p, p)) + trailing, mode="edge")
@@ -112,15 +70,22 @@ def _btv_gradient(x: jnp.ndarray, cfg: BTVConfig) -> jnp.ndarray:
     def shift_x(dy, dx):
         return xp[p + dy : p + dy + h, p + dx : p + dx + w]
 
-    for dy in range(-p, p + 1):
+    def shift_s(s, dy, dx):
+        sp = jnp.pad(s, ((p, p), (p, p)) + trailing, mode="edge")
+        return sp[p + dy : p + dy + h, p + dx : p + dx + w]
+
+    # opposite offsets pair up: in the interior
+    # S_{-d} sign(x - S_d x) = -sign(x - S_{-d} x), so each pair (d, -d)
+    # contributes 2 w_d (s_d - S_{-d} s_d) — half the shifts/signs of the
+    # naive double loop (boundary rows differ by the pad order only)
+    for dy in range(0, p + 1):
         for dx in range(-p, p + 1):
-            if dy == 0 and dx == 0:
+            if dy == 0 and dx <= 0:
                 continue
-            weight = cfg.alpha ** (abs(dy) + abs(dx))
+            weight = 2.0 * cfg.alpha ** (abs(dy) + abs(dx))
             s = jnp.sign(x - shift_x(dy, dx))
-            sp = jnp.pad(s, ((p, p), (p, p)) + trailing, mode="edge")
-            s_back = sp[p - dy : p - dy + h, p - dx : p - dx + w]
-            grad = grad + weight * (s - s_back)
+            term = weight * (s - shift_s(s, -dy, -dx))
+            grad = term if grad is None else grad + term
     return grad
 
 
@@ -142,7 +107,17 @@ def btvl1_superres(
     f = burst.shape[0]
     window = [ (target + d) % f for d in range(-cfg.temporal_radius, cfg.temporal_radius + 1) ]
     frames = jnp.stack([burst[i] for i in window])
+    return _btvl1_window(frames, cfg, flow_cfg, flows)
 
+
+def _btvl1_window(
+    frames: jnp.ndarray,
+    cfg: BTVConfig = BTVConfig(),
+    flow_cfg: Optional[FlowConfig] = None,
+    flows: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Solve one temporal window (W, H, W[, C]) whose center frame is the
+    target — the vmappable core of btvl1_superres/btvl1_video."""
     gray = rgb_to_gray(frames) if frames.ndim == 4 else frames
     ref_gray = gray[cfg.temporal_radius]
 
@@ -163,29 +138,64 @@ def btvl1_superres(
 
     x0 = upscale(frames[cfg.temporal_radius], cfg.scale, "bicubic")
 
-    # flows are constant across iterations: build the (forward, inverse)
-    # warp closures once per window frame, outside the solver loop
+    # flows are constant across iterations; all window frames run as ONE
+    # batched computation per iteration (warp/blur/decimate vmapped over
+    # the window axis) instead of a sequential per-frame loop
     n_window = frames.shape[0]
-    warps = [
-        (_make_warp(-hr_flows[k], cfg), _make_warp(hr_flows[k], cfg))
-        for k in range(n_window)
-    ]
+    if cfg.fast:
+        from multi_frame_super_resolution_tpu.ops.warp_fast import (
+            decompose_flow,
+            tile_warp_select,
+            warp_bounded,
+        )
+
+        rb = cfg.warp_residual_bound
+
+        def decomp(fl):
+            ti, res = decompose_flow(fl, cfg.warp_tile)
+            return ti, jnp.clip(res, -rb, rb)
+
+        t_fwd, r_fwd = jax.vmap(lambda fl: decomp(-fl))(hr_flows)
+        t_inv, r_inv = jax.vmap(decomp)(hr_flows)
+
+        def warp_frames(xs, tints, res):
+            return jax.vmap(
+                lambda xx, ti, rr: warp_bounded(
+                    tile_warp_select(xx, ti, cfg.warp_tile), rr, rb
+                )
+            )(xs, tints, res)
+
+        warp_fwd = lambda xs: warp_frames(xs, t_fwd, r_fwd)
+        warp_inv = lambda xs: warp_frames(xs, t_inv, r_inv)
+    else:
+        warp_fwd = jax.vmap(lambda xx, fl: warp_backward(xx, -fl), in_axes=(0, 0))
+        warp_inv = jax.vmap(warp_backward, in_axes=(0, 0))
+        warp_fwd = lambda xs, _w=warp_fwd: _w(xs, hr_flows)
+        warp_inv = lambda xs, _w=warp_inv: _w(xs, hr_flows)
 
     def iteration(_, x):
-        data_grad = jnp.zeros_like(x)
-        for k in range(n_window):
-            fwd, inv = warps[k]
-            # warp HR estimate into frame-k geometry: sample x at
-            # ref-coords of each frame-k pixel = backward warp by -flow
-            sim = _degrade(x, fwd, cfg)
-            resid = jnp.sign(sim - frames[k])
-            data_grad = data_grad + _degrade_adjoint(resid, inv, cfg)
+        xs = jnp.broadcast_to(x, (n_window,) + x.shape)
+        # warp HR estimate into each frame's geometry (backward warp by
+        # -flow), blur, decimate => simulated LR frames
+        sims = jax.vmap(lambda w: _block_mean(_blur(w, cfg), cfg.scale))(
+            warp_fwd(xs)
+        )
+        resid = jnp.sign(sims - frames)
+        ups = jax.vmap(
+            lambda r: _blur(_block_mean_adjoint(r, cfg.scale), cfg)
+        )(resid)
+        data_grad = warp_inv(ups).sum(axis=0)
         grad = data_grad + cfg.lam * _btv_gradient(x, cfg)
         # tau is the classical 8-bit-range step (OpenCV default 1.3); both
         # gradient terms are sign-valued, so rescale to [0,1] intensities
         return x - (cfg.tau / 255.0) * grad
 
-    x = jax.lax.fori_loop(0, cfg.iterations, iteration, x0)
+    if cfg.iterations <= 4:
+        x = x0
+        for i in range(cfg.iterations):
+            x = iteration(i, x)
+    else:
+        x = jax.lax.fori_loop(0, cfg.iterations, iteration, x0, unroll=2)
     return jnp.clip(x, 0.0, 1.0)
 
 
@@ -196,7 +206,17 @@ def btvl1_video(
 ) -> jnp.ndarray:
     """Super-resolve every frame of the burst (the reference app's
     `nextFrame` stream, multi_frame_sr.cpp:187-203). Returns
-    (F, scale*H, scale*W[, C])."""
+    (F, scale*H, scale*W[, C]).
+
+    All per-target solves run as ONE vmapped computation (the windows
+    differ only in which frames they gather), instead of the reference's
+    sequential nextFrame host loop."""
     f = burst.shape[0]
-    outs = [btvl1_superres(burst, t, cfg, flow_cfg) for t in range(f)]
-    return jnp.stack(outs)
+    r = cfg.temporal_radius
+    windows = jnp.stack(
+        [
+            jnp.stack([burst[(t + d) % f] for d in range(-r, r + 1)])
+            for t in range(f)
+        ]
+    )  # (F, window, H, W[, C])
+    return jax.vmap(lambda win: _btvl1_window(win, cfg, flow_cfg))(windows)

@@ -100,7 +100,7 @@ def _band_matrix(n: int, taps: np.ndarray, border: str) -> np.ndarray:
 # Above this edge length a banded matmul does too many useless FLOPs
 # (cost n/k vs the conv's taps); below it the MXU beats the VPU/conv
 # lowering by a wide margin for depthwise few-channel filters.
-_BAND_MATMUL_MAX_DIM = 384
+_BAND_MATMUL_MAX_DIM = 1024
 
 
 def _filter_axis(img: jnp.ndarray, taps, axis: int, border: str) -> jnp.ndarray:

@@ -73,7 +73,23 @@ def lk_refine(
     ref, moved: (H, W) grayscale; flow0: (H, W, 2) initial flow (dy, dx).
     """
 
-    if cfg.bounded_warp > 0:
+    if cfg.warp_tile > 0:
+        # large flows, gatherlessly: per-tile integer shift (one-hot
+        # select) + bounded residual, re-decomposed each iteration
+        from multi_frame_super_resolution_tpu.ops.warp_fast import (
+            decompose_flow,
+            tile_warp_select,
+            warp_bounded,
+        )
+
+        rb = max(cfg.bounded_warp, 2)
+
+        def warp(img, fl):
+            tile_int, res = decompose_flow(fl, cfg.warp_tile)
+            shifted = tile_warp_select(img, tile_int, cfg.warp_tile)
+            return warp_bounded(shifted, jnp.clip(res, -rb, rb), rb)
+
+    elif cfg.bounded_warp > 0:
         from multi_frame_super_resolution_tpu.ops.warp_fast import warp_bounded
 
         warp = lambda img, fl: warp_bounded(img, fl, cfg.bounded_warp)
@@ -103,7 +119,10 @@ def pyrlk_flow(
 ) -> jnp.ndarray:
     """Standalone pyramidal LK dense optical flow — the `pyrlk` backend of
     the createOptFlow surface (multi_frame_sr.cpp:81-82)."""
-    lk = LKConfig(half_window=cfg.lk_half_window, iterations=cfg.lk_iterations)
+    lk = LKConfig(
+        half_window=cfg.lk_half_window, iterations=cfg.lk_iterations,
+        warp_tile=16,
+    )
     ref_pyr = [ref]
     mov_pyr = [moved]
     for _ in range(cfg.pyramid_levels - 1):

@@ -103,10 +103,24 @@ class MergeConfig:
     # higher variance floor than green to cover the output grid without
     # CFA-period fallback patterns
     k_min_rb: float = 1.0
+    # guided R/B accumulation: merge R-G / B-G color differences (computed
+    # against a gradient-weighted green estimate on the warped planes) and
+    # reconstruct R = G + D_R, so chroma rides the sharp green channel
+    # instead of blurring under the wide R/B kernels
+    # (deBayerRedBlueKernel's color-difference fill lifted into the merge,
+    # DeBayerKernels.cu:152-231). Measured on the city burst: +1.3 dB in
+    # the no-motion (F=1) case but -0.8 dB at F=5 until the alignment
+    # pollution is fixed — default off, revisit with better alignment.
+    guided_rb: bool = False
     # ApplyWeighting: where accumulated weight < threshold, blend in the
     # fallback (reference/demosaiced) image (kernel.cu:425-481).
     weight_threshold: float = 1e-2
     radius: int = 2              # 5x5 neighborhood (DeBayerKernels.cu:317)
+    # run the accumulate stage through the Pallas merge kernel
+    # (pallas_ops/merge.py) instead of the XLA static-tap formulation.
+    # Interpret-parity is pinned in tests; the env's Mosaic compile is
+    # re-probed each round (BENCH_NOTES.md) before flipping this on TPU.
+    use_pallas: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,6 +144,13 @@ class HandheldConfig:
     # equivalent) instead of direct-to-reference measurements; ~2x the
     # alignment cost, more robust on low-texture frames
     use_consistency: bool = False
+    # global similarity pre-alignment (FFT log-polar rotation/scale +
+    # translation per alternate, registration/prealign.py) before the
+    # tile pyramid — the reference's baseShift/baseRotation tile model
+    # (kernel.cu:264-318) estimated by the PreAlignment FFT stage it
+    # left unfinished (boxFilterNPP.cpp:102-166). Required for bursts
+    # with per-frame rotation (city: 0/0/5/10/-15 deg, main.cpp:1896).
+    prealign: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -166,12 +187,24 @@ class FlowConfig:
     fb_poly_sigma: float = 1.1
     fb_win_size: int = 13
     fb_iterations: int = 5
-    # tvl1 / brox (variational)
+    # tvl1 (variational, primal-dual)
     tv_tau: float = 0.25
     tv_lambda: float = 0.15
     tv_theta: float = 0.3
     tv_iterations: int = 30
     tv_warps: int = 3
+    # brox (variational with gradient constancy, Brox et al. ECCV 2004;
+    # the reference delegates to createOptFlow_Brox_CUDA,
+    # multi_frame_sr.cpp:79-80). alpha/gamma defaults follow the paper's
+    # recommended smoothness/gradient weights for [0,1] intensities.
+    brox_alpha: float = 0.03        # smoothness weight
+    brox_gamma: float = 8.0         # gradient-constancy weight
+    brox_epsilon: float = 1e-3      # Ψ robustness epsilon
+    brox_presmooth: float = 0.8     # pre-smoothing sigma
+    brox_outer_iterations: int = 3  # warps per pyramid level
+    brox_inner_iterations: int = 3  # fixed-point relinearizations
+    brox_solver_iterations: int = 12  # Jacobi sweeps per linearization
+    brox_omega: float = 0.9         # Jacobi under-relaxation
 
 
 @dataclasses.dataclass(frozen=True)

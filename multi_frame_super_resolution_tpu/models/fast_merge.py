@@ -155,6 +155,53 @@ def merge_burst_fast(
     return interleave(num), interleave(den)
 
 
+def green_guide_planes(planes: jnp.ndarray, cfa) -> jnp.ndarray:
+    """Gradient-weighted green estimate at every CFA site, in the plane
+    domain: (F, 2, 2, hh, hw) -> same shape, where non-green sites hold
+    the directional average of their four full-res green neighbors
+    (horizontal/vertical mixed by inverse gradient, the Wu-Zhang
+    weighting idea of deBayerGreenKernel, DeBayerKernels.cu:54-149, on
+    the 4-neighbor cross) and green sites hold themselves.
+
+    Used by the guided R/B merge: accumulating R - G / B - G color
+    differences instead of raw R/B keeps chroma aligned with the sharp
+    green channel (the reference fills R/B through exactly these color
+    differences in deBayerRedBlueKernel, DeBayerKernels.cu:152-231).
+    """
+    pat = np.asarray(cfa)
+    out = [[None, None], [None, None]]
+    eps = 1e-6
+    for a in (0, 1):
+        for b in (0, 1):
+            if int(pat[a][b]) == 1:
+                out[a][b] = planes[:, a, b]
+                continue
+            p = planes[:, a, b]
+            # full-res green neighbors (2i+a+-1, 2j+b) and (2i+a, 2j+b+-1)
+            up = _shift_last2(planes[:, (a - 1) % 2, b], (a - 1) // 2, 0)
+            down = _shift_last2(planes[:, (a + 1) % 2, b], (a + 1) // 2, 0)
+            left = _shift_last2(planes[:, a, (b - 1) % 2], 0, (b - 1) // 2)
+            right = _shift_last2(planes[:, a, (b + 1) % 2], 0, (b + 1) // 2)
+            # same-channel +-2 full-res neighbors = +-1 plane shifts, for
+            # the Hamilton-Adams Laplacian correction
+            up2 = _shift_last2(p, -1, 0)
+            down2 = _shift_last2(p, 1, 0)
+            left2 = _shift_last2(p, 0, -1)
+            right2 = _shift_last2(p, 0, 1)
+            lap_v = 2.0 * p - up2 - down2
+            lap_h = 2.0 * p - left2 - right2
+            est_v = 0.5 * (up + down) + 0.25 * lap_v
+            est_h = 0.5 * (left + right) + 0.25 * lap_h
+            gv = jnp.abs(up - down) + jnp.abs(lap_v)
+            gh = jnp.abs(left - right) + jnp.abs(lap_h)
+            wh = (gv + eps) / (gv + gh + 2.0 * eps)
+            out[a][b] = wh * est_h + (1.0 - wh) * est_v
+    return jnp.stack(
+        [jnp.stack([out[0][0], out[0][1]], 1), jnp.stack([out[1][0], out[1][1]], 1)],
+        axis=1,
+    )
+
+
 def merge_burst_raw_planes(
     planes: jnp.ndarray,
     residual: jnp.ndarray,
@@ -166,6 +213,7 @@ def merge_burst_raw_planes(
     radius: int = 2,
     residual_bound: float = 1.0,
     k_max: float = 1.0,
+    guide: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """CFA-aware merge on half-resolution planes
     (accumulateImagesSuperRes equivalent, DeBayerKernels.cu:378-468).
@@ -184,6 +232,11 @@ def merge_burst_raw_planes(
     Gaussian weight depends only on the Bayer block (residual and omega
     are half-res fields), so each tap needs just two half-res weight
     maps (green / red-blue) shared by all four parities.
+
+    When ``guide`` (green_guide_planes output) is given, R/B samples are
+    accumulated as COLOR DIFFERENCES value - guide, so channels 0/2 of
+    (num, den) hold merged R-G / B-G fields; the caller reconstructs
+    R = G + D_R (see handheld._handheld_raw_fast).
     """
     f = planes.shape[0]
     hh, hw = planes.shape[-2], planes.shape[-1]
@@ -228,7 +281,10 @@ def merge_burst_raw_planes(
             for b in (0, 1):
                 qb, db = (b + kx) % 2, (b + kx) // 2
                 ch = int(pat[qa][qb])
-                val = _shift_last2(planes[:, qa, qb], da, db)
+                src = planes[:, qa, qb]
+                if guide is not None and ch != 1:
+                    src = src - guide[:, qa, qb]
+                val = _shift_last2(src, da, db)
                 cert_s = _shift_last2(certainty[..., ch], da, db)
                 for py in range(s):
                     for px in range(s):

@@ -17,6 +17,14 @@ import jax  # noqa: E402
 # counter-force CPU before any backend use
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: dedupes identical pipeline HLO across
+# tests within a run (different jitted lambdas, same graph) and makes
+# repeat runs compile-free — the suite is XLA-compile-bound on this
+# single-core CPU
+jax.config.update("jax_compilation_cache_dir", "/tmp/mfsr_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

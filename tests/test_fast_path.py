@@ -101,24 +101,10 @@ def test_merge_fast_matches_oracle_constant_flow(rng):
     assert p > 40.0, p
 
 
-def test_handheld_fast_quality(rng):
-    burst, _ = synthetic_burst(rng, num_frames=4, height=64, width=64, max_shift=2.0)
-    rgb = jnp.asarray(np.stack([burst] * 3, axis=-1))
-    cfg = HandheldConfig(
-        align=AlignConfig(tile_size=16, search_radius=4, levels=2), fast=True
-    )
-    out = jax.jit(lambda b: handheld_superres(b, cfg))(rgb)
-    assert out.shape == (128, 128, 3)
-    out = np.asarray(out)
-    assert np.isfinite(out).all()
-    from multi_frame_super_resolution_tpu.ops.geometry import downsample2
-
-    down = np.asarray(downsample2(jnp.asarray(out)))
-    p = float(psnr(jnp.asarray(rgb[0]), jnp.asarray(down)))
-    assert p > 25.0, p
-
-
 def test_handheld_fast_close_to_oracle(rng):
+    # fast-path quality on synthetic bursts is covered by
+    # tests/test_handheld.py (fast=True is the default config there);
+    # this file pins fast-vs-oracle parity only.
     burst, _ = synthetic_burst(rng, num_frames=3, height=64, width=64, max_shift=2.0)
     rgb = jnp.asarray(np.stack([burst] * 3, axis=-1))
     align = AlignConfig(tile_size=16, search_radius=4, levels=2)

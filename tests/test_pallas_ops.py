@@ -59,6 +59,58 @@ def test_defog_pallas_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(r), r_o, rtol=1e-5, atol=1e-6)
 
 
+def test_merge_pallas_matches_fast_merge(rng):
+    from multi_frame_super_resolution_tpu.models.fast_merge import merge_burst_fast
+    from multi_frame_super_resolution_tpu.pallas_ops.merge import merge_fast_pallas
+
+    f, h, w = 3, 32, 48
+    warped = rng.random((f, h, w, 3)).astype(np.float32)
+    residual = (rng.random((f, h, w, 2)) * 2.0 - 1.0).astype(np.float32)
+    certainty = rng.random((f, h, w, 3)).astype(np.float32)
+    omega = (0.5 + rng.random((h, w, 3))).astype(np.float32)
+    omega[..., 2] *= 0.1  # keep the quadratic PSD-ish
+
+    num_o, den_o = merge_burst_fast(
+        jnp.asarray(warped), jnp.asarray(residual), jnp.asarray(certainty),
+        jnp.asarray(omega), scale=2,
+    )
+    num_p, den_p = merge_fast_pallas(
+        jnp.asarray(warped), jnp.asarray(residual), jnp.asarray(certainty),
+        jnp.asarray(omega), scale=2, block_rows=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(num_p), np.asarray(num_o),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(den_p), np.asarray(den_o),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_merge_pallas_scale1_and_odd_blocks(rng):
+    """scale=1 (accumulateImages flavor) + a block size that must shrink
+    to divide H."""
+    from multi_frame_super_resolution_tpu.models.fast_merge import merge_burst_fast
+    from multi_frame_super_resolution_tpu.pallas_ops.merge import merge_fast_pallas
+
+    f, h, w = 2, 24, 40
+    warped = rng.random((f, h, w, 3)).astype(np.float32)
+    residual = (rng.random((f, h, w, 2)) - 0.5).astype(np.float32)
+    certainty = rng.random((f, h, w, 3)).astype(np.float32)
+    omega = (0.5 + rng.random((h, w, 3))).astype(np.float32)
+    omega[..., 2] *= 0.1
+
+    num_o, den_o = merge_burst_fast(
+        jnp.asarray(warped), jnp.asarray(residual), jnp.asarray(certainty),
+        jnp.asarray(omega), scale=1,
+    )
+    num_p, den_p = merge_fast_pallas(
+        jnp.asarray(warped), jnp.asarray(residual), jnp.asarray(certainty),
+        jnp.asarray(omega), scale=1, block_rows=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(num_p), np.asarray(num_o),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(den_p), np.asarray(den_o),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_tile_gather_pallas_matches_search_windows(rng):
     from multi_frame_super_resolution_tpu.pallas_ops.tile_gather import (
         tile_gather_pallas,

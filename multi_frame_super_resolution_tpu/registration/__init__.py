@@ -32,7 +32,8 @@ from multi_frame_super_resolution_tpu.registration.optical_flow import (
     available_backends,
     create_optical_flow,
 )
-from multi_frame_super_resolution_tpu.registration.tvl1 import brox_flow, tvl1_flow
+from multi_frame_super_resolution_tpu.registration.brox import brox_flow
+from multi_frame_super_resolution_tpu.registration.tvl1 import tvl1_flow
 from multi_frame_super_resolution_tpu.registration.phase_correlation import (
     correlation_surface,
     phase_correlate,

@@ -14,8 +14,9 @@ import jax.numpy as jnp
 
 from multi_frame_super_resolution_tpu.config import FlowConfig
 from multi_frame_super_resolution_tpu.registration.farneback import farneback_flow
+from multi_frame_super_resolution_tpu.registration.brox import brox_flow
 from multi_frame_super_resolution_tpu.registration.lucas_kanade import pyrlk_flow
-from multi_frame_super_resolution_tpu.registration.tvl1 import brox_flow, tvl1_flow
+from multi_frame_super_resolution_tpu.registration.tvl1 import tvl1_flow
 
 FlowFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 

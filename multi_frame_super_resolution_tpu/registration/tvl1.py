@@ -1,8 +1,7 @@
 """Dual TV-L1 dense optical flow (Zach-Pock-Bischof primal-dual scheme).
 
-The 'tvl1' backend of the createOptFlow surface (multi_frame_sr.cpp:72-77),
-and — with gradient-descent-friendlier defaults — the stand-in for the
-'brox' variational backend (multi_frame_sr.cpp:79-80). Fixed-trip
+The 'tvl1' backend of the createOptFlow surface (multi_frame_sr.cpp:72-77).
+Fixed-trip
 ``lax.fori_loop``s keep the whole warping/primal-dual iteration inside one
 XLA program.
 """
@@ -118,22 +117,3 @@ def tvl1_flow(
             u = resize(u, r.shape[0], r.shape[1], "bilinear") * 2.0
         u = _tvl1_level(r, m, u, cfg)
     return u
-
-
-def brox_flow(
-    ref: jnp.ndarray, moved: jnp.ndarray, cfg: FlowConfig = FlowConfig()
-) -> jnp.ndarray:
-    """Brox-class variational flow. Implemented as the TV-L1 scheme with a
-    finer-grained warping schedule (more warps, fewer inner iterations) —
-    a smooth-prior variational solver of the same family; the reference
-    delegated to OpenCV's implementation (multi_frame_sr.cpp:79-80)."""
-    brox_cfg = FlowConfig(
-        method="brox",
-        pyramid_levels=cfg.pyramid_levels,
-        tv_tau=cfg.tv_tau,
-        tv_lambda=cfg.tv_lambda * 2.0,
-        tv_theta=cfg.tv_theta,
-        tv_iterations=max(cfg.tv_iterations // 2, 5),
-        tv_warps=cfg.tv_warps * 2,
-    )
-    return tvl1_flow(ref, moved, brox_cfg)

@@ -34,6 +34,21 @@ def test_flow_recovers_translation(method, rng):
     np.testing.assert_allclose(est, true, atol=0.5, err_msg=f"{method}: {est}")
 
 
+def test_brox_gradient_constancy_survives_brightness_offset(rng):
+    """The gradient-constancy term (Brox et al. 2004) must keep the flow
+    estimate accurate under an additive illumination change that violates
+    brightness constancy — the property that distinguishes the real Brox
+    solver from a TV-L1 stand-in (multi_frame_sr.cpp:79-80)."""
+    burst, _ = synthetic_burst(rng, num_frames=1, height=96, width=96, max_shift=0.0)
+    img = jnp.asarray(burst[0])
+    true = (1.5, -2.0)
+    moved = jnp.clip(translate(img, -true[0], -true[1]) + 0.15, 0.0, 1.0)
+    flow_fn = create_optical_flow(FlowConfig(method="brox", pyramid_levels=3))
+    flow = np.asarray(jax.jit(flow_fn)(img, moved))
+    est = flow[24:-24, 24:-24].mean(axis=(0, 1))
+    np.testing.assert_allclose(est, true, atol=0.5, err_msg=f"{est}")
+
+
 @pytest.mark.parametrize("method", ["farneback", "tvl1"])
 def test_flow_reduces_warp_error(method, rng):
     """Warping by the estimated flow must reduce the photometric error."""

@@ -84,8 +84,20 @@ def handheld_superres(
     if cfg.fast:
         return _handheld_fast(burst, cfg)
     gray = rgb_to_gray(burst)
+    if cfg.prealign:
+        from multi_frame_super_resolution_tpu.registration.prealign import (
+            prealign_burst,
+        )
+
+        burst, prevalid = prealign_burst(burst, gray)
+        gray = rgb_to_gray(burst)
+    else:
+        prevalid = None
     flows = _burst_flows(gray, cfg)
     cert = _burst_certainty(burst, flows, cfg)
+    if prevalid is not None:
+        cert = cert * prevalid[..., None]
+        cert = cert.at[0].set(1.0)
 
     st = smoothed_structure_tensor(gray[0], cfg.st_window)
     omega_inv = kernel_params(st, cfg.merge)
@@ -119,6 +131,16 @@ def _handheld_fast(burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
     t = cfg.align.tile_size
     gray = rgb_to_gray(burst)
 
+    if cfg.prealign:
+        from multi_frame_super_resolution_tpu.registration.prealign import (
+            prealign_burst,
+        )
+
+        burst, prevalid = prealign_burst(burst, gray)
+        gray = rgb_to_gray(burst)
+        # carry validity through the integer tile warp as a 4th channel
+        burst = jnp.concatenate([burst, prevalid[..., None]], axis=-1)
+
     tile_shifts = (
         align_burst_consistent(gray, cfg.align)
         if cfg.use_consistency
@@ -147,6 +169,12 @@ def _handheld_fast(burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
             burst, int_shifts
         )
     warped = warped.at[0].set(burst[0])
+    if cfg.prealign:
+        valid_w = warped[..., 3]
+        warped = warped[..., :3]
+        burst = burst[..., :3]
+    else:
+        valid_w = None
 
     # residual subpixel flow, piecewise constant per tile
     def lift(res):
@@ -171,15 +199,27 @@ def _handheld_fast(burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
     cert = jax.vmap(
         lambda mv, fl: robustness_mask(ref, mv, fl, cfg.robustness, bounded=2)[..., :3]
     )(warped, res_flow)
+    if valid_w is not None:
+        cert = cert * valid_w[..., None]
     cert = cert.at[0].set(1.0)
 
     st = smoothed_structure_tensor(gray[0], cfg.st_window)
     omega_inv = kernel_params(st, cfg.merge)
 
-    num, den = merge_burst_fast(
-        warped, res_flow, cert, omega_inv, cfg.scale, cfg.merge.radius,
-        cfg.residual_bound, k_max=cfg.merge.k_max,
-    )
+    if cfg.merge.use_pallas:
+        from multi_frame_super_resolution_tpu.pallas_ops.merge import (
+            merge_fast_pallas,
+        )
+
+        num, den = merge_fast_pallas(
+            warped, res_flow, cert, omega_inv, cfg.scale, cfg.merge.radius,
+            cfg.residual_bound, k_max=cfg.merge.k_max,
+        )
+    else:
+        num, den = merge_burst_fast(
+            warped, res_flow, cert, omega_inv, cfg.scale, cfg.merge.radius,
+            cfg.residual_bound, k_max=cfg.merge.k_max,
+        )
     fallback = upsample_int(burst[0], cfg.scale, "bicubic")
     out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
     if cfg.gamma:
@@ -205,8 +245,27 @@ def handheld_superres_raw(
     half = jax.vmap(lambda r: debayer_subsample(r, cfg.cfa_pattern))(raw_burst)
     gray_half = rgb_to_gray(half)
 
+    if cfg.prealign:
+        from multi_frame_super_resolution_tpu.models.fast_merge import (
+            planes_to_raw,
+            raw_to_planes,
+        )
+        from multi_frame_super_resolution_tpu.registration.prealign import (
+            prealign_planes,
+        )
+
+        planes, prevalid = prealign_planes(raw_to_planes(raw_burst), gray_half)
+        raw_burst = planes_to_raw(planes)
+        half = jax.vmap(lambda r: debayer_subsample(r, cfg.cfa_pattern))(raw_burst)
+        gray_half = rgb_to_gray(half)
+    else:
+        prevalid = None
+
     flows_half = _burst_flows(gray_half, cfg)
     cert = _burst_certainty(half, flows_half, cfg)
+    if prevalid is not None:
+        cert = cert * prevalid[..., None]
+        cert = cert.at[0].set(1.0)
 
     st = smoothed_structure_tensor(gray_half[0], cfg.st_window)
     # half-res-unit gradients -> RAW-res grid (values are unit-sensitive
@@ -278,6 +337,17 @@ def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarr
     half = _subsample_from_planes(planes, cfg.cfa_pattern)
     gray_half = rgb_to_gray(half)
 
+    if cfg.prealign:
+        from multi_frame_super_resolution_tpu.registration.prealign import (
+            prealign_planes,
+        )
+
+        planes, prevalid = prealign_planes(planes, gray_half)
+        half = _subsample_from_planes(planes, cfg.cfa_pattern)
+        gray_half = rgb_to_gray(half)
+    else:
+        prevalid = None
+
     tile_shifts = (
         align_burst_consistent(gray_half, cfg.align)
         if cfg.use_consistency
@@ -289,11 +359,20 @@ def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarr
     # planes fold into the frame axis so nothing small sits on the lane
     # dim. The reference frame needs no warp/LK/robustness (its shift is
     # zero, its certainty one) — only the F-1 alternates are processed.
-    stack = planes[1:].reshape((f - 1) * 4, hh, hw)
-    ints_rep = jnp.repeat(int_half[1:], 4, axis=0)
-    warped_alts = jax.vmap(
+    nst = 4 if prevalid is None else 5
+    stack = planes[1:].reshape(f - 1, 4, hh, hw)
+    if prevalid is not None:
+        # carry the pre-alignment validity mask through the same integer
+        # warp so invalid (out-of-source) regions stay registered with
+        # the content they annotate
+        stack = jnp.concatenate([stack, prevalid[1:, None]], axis=1)
+    stack = stack.reshape((f - 1) * nst, hh, hw)
+    ints_rep = jnp.repeat(int_half[1:], nst, axis=0)
+    warped_stack = jax.vmap(
         lambda fr, ints: tile_warp_select(fr, ints, t, bound=16)
-    )(stack, ints_rep).reshape(f - 1, 2, 2, hh, hw)
+    )(stack, ints_rep).reshape(f - 1, nst, hh, hw)
+    warped_alts = warped_stack[:, :4].reshape(f - 1, 2, 2, hh, hw)
+    valid_w = None if prevalid is None else warped_stack[:, 4]
     warped = jnp.concatenate([planes[:1], warped_alts], axis=0)
 
     # residual at half res (<=0.5 px) + optional LK refinement on the
@@ -324,6 +403,8 @@ def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarr
             warped_half[0], mv, fl, cfg.robustness, bounded=2
         )[..., :3]
     )(warped_half[1:], res_alts)
+    if valid_w is not None:
+        cert_alts = cert_alts * valid_w[..., None]
     cert_half = jnp.concatenate(
         [jnp.ones((1, hh, hw, 3), jnp.float32), cert_alts], axis=0
     )
@@ -334,17 +415,41 @@ def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarr
     mc_rb = dataclasses.replace(cfg.merge, k_min=max(cfg.merge.k_min, cfg.merge.k_min_rb))
     omega_half_rb = kernel_params(st, mc_rb)
 
-    num, den = merge_burst_raw_planes(
-        warped, res_half * 2.0, cert_half, omega_half, omega_half_rb,
-        cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
-        residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
-    )
     # fallback only shows through where den < weight_threshold (sparse,
     # border/extreme-motion pixels); the half-res RGB already computed for
     # alignment upsampled 2s-x is visually equivalent there and saves the
     # full-res demosaic (~1 ms in-context on v5e)
     fallback = upsample_int(half[0], 2 * cfg.scale, "bilinear")
-    out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
+    if cfg.merge.guided_rb:
+        from multi_frame_super_resolution_tpu.models.fast_merge import (
+            green_guide_planes,
+        )
+
+        guide = green_guide_planes(warped, cfg.cfa_pattern)
+        num, den = merge_burst_raw_planes(
+            warped, res_half * 2.0, cert_half, omega_half, omega_half_rb,
+            cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
+            residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
+            guide=guide,
+        )
+        # channels 0/2 hold merged R-G / B-G; their fallback is the
+        # fallback image's own color difference
+        fb_g = fallback[..., 1]
+        fb = jnp.stack(
+            [fallback[..., 0] - fb_g, fb_g, fallback[..., 2] - fb_g], axis=-1
+        )
+        merged = apply_weighting(num, den, fb, cfg.merge.weight_threshold)
+        g = merged[..., 1]
+        out = jnp.stack(
+            [g + merged[..., 0], g, g + merged[..., 2]], axis=-1
+        )
+    else:
+        num, den = merge_burst_raw_planes(
+            warped, res_half * 2.0, cert_half, omega_half, omega_half_rb,
+            cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
+            residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
+        )
+        out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
     if cfg.gamma:
         out = srgb_gamma(out)
     return jnp.clip(out, 0.0, 1.0)

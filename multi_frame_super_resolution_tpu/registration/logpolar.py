@@ -47,11 +47,23 @@ def log_polar_params(rows: int, cols: int) -> Tuple[int, float]:
 def log_polar_maps(rows: int, cols: int) -> Tuple[np.ndarray, np.ndarray]:
     """(ymap, xmap) of shape (size, size): row i is angle -i*pi/(size-1),
     column j is radius logBase^j, about the image center
-    (main.cpp:883-932)."""
+    (main.cpp:883-932).
+
+    Deviation from the reference maps: the radius is laid out in
+    ISOTROPIC NORMALIZED frequency and converted to pixel coordinates
+    per axis (x stretched by cols/rows). The reference samples the
+    spectrum on pixel-coordinate circles, which are ellipses in true
+    frequency for non-square images — an image-space rotation then does
+    NOT shift the angle axis uniformly (measured on the 256x512 city
+    frame: estimates came out at -theta/2). Its own registration driver
+    discards the results (main.cpp:1158-1161), so the bug was latent."""
     size, log_base = log_polar_params(rows, cols)
+    # radius in ROW-pixel units (reference scale), stretched to column
+    # pixels on the x axis so (fy, fx) = scales/rows * (sin, cos) is an
+    # isotropic frequency circle
     scales = np.power(log_base, np.arange(size, dtype=np.float64))
     angles = -np.arange(size, dtype=np.float64) * (np.pi / (size - 1))
-    xmap = scales[None, :] * np.cos(angles)[:, None] + cols / 2.0
+    xmap = (scales[None, :] * (cols / rows)) * np.cos(angles)[:, None] + cols / 2.0
     ymap = scales[None, :] * np.sin(angles)[:, None] + rows / 2.0
     return ymap.astype(np.float32), xmap.astype(np.float32)
 

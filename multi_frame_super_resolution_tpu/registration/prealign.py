@@ -1,0 +1,202 @@
+"""Global similarity pre-alignment for burst pipelines.
+
+The reference's alignment model carries a GLOBAL per-frame base
+shift + rotation into tile extraction (convertToTilesOverlapBorder
+applies `baseShift`/`baseRotation` about the image center,
+kernel.cu:264-318) — without it, per-tile translation search cannot
+follow rotated frames (the bundled city burst is generated with
+rotations of 0/0/5/10/-15 degrees, main.cpp:1896). The FFT
+registration the reference left unfinished (PreAlignment,
+boxFilterNPP.cpp:102-166) is exactly the estimator for that global
+stage; this module wires our completed log-polar similarity
+registration (registration/logpolar.py) in front of the tile pyramid:
+
+  estimate rotation/scale/translation per alternate  ->  one backward
+  warp into reference geometry (+ validity mask)  ->  tile alignment
+  sees translation-only residuals.
+
+Frames whose estimated rotation AND scale are negligible are passed
+through untouched (jnp.where select, jit-safe) so well-aligned frames
+keep their original samples unresampled.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multi_frame_super_resolution_tpu.config import RegistrationConfig
+from multi_frame_super_resolution_tpu.ops.geometry import remap
+from multi_frame_super_resolution_tpu.registration.logpolar import (
+    SimilarityTransform,
+    register_similarity,
+)
+
+
+def estimate_burst_similarity(
+    gray: jnp.ndarray,
+    cfg: RegistrationConfig = RegistrationConfig(),
+    with_translation: bool = True,
+) -> SimilarityTransform:
+    """Per-alternate similarity vs frame 0. gray: (F, H, W) luma.
+    Returns stacked SimilarityTransform with leading axis F-1.
+
+    with_translation=False estimates only rotation/scale (translation =
+    0), saving one bicubic unrotate remap and one phase correlation per
+    frame — but the global subpixel translation measurably beats leaving
+    recovery to the tile pyramid (+4.4 dB RGB / +0.4 dB RAW on city), so
+    it stays on by default."""
+    ref = gray[0]
+    if with_translation:
+        return jax.vmap(lambda g: register_similarity(ref, g, cfg))(gray[1:])
+
+    from multi_frame_super_resolution_tpu.registration.logpolar import (
+        register_rotation_scale,
+    )
+
+    def one(g):
+        rotation, scale, peak = register_rotation_scale(ref, g, cfg)
+        return SimilarityTransform(
+            rotation=rotation,
+            scale=scale,
+            translation=jnp.zeros(2, jnp.float32),
+            response=peak,
+        )
+
+    return jax.vmap(one)(gray[1:])
+
+
+def _source_grid(
+    h: int,
+    w: int,
+    st: SimilarityTransform,
+    offset: Tuple[float, float] = (0.0, 0.0),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Backward-warp source coordinates G(y - d) reconstructing the
+    reference frame from the moved frame: ref(y) ~= moved(G(y - d)),
+    where G is the unrotate/unscale map register_similarity used before
+    measuring the translation d (composition verified empirically on the
+    city burst, tools/eval: "order A sign -1").
+
+    ``offset`` shifts the OUTPUT grid by a constant (sub)pixel amount —
+    used for CFA planes whose sites sit at (+a/2, +b/2) in half-res
+    units."""
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = jnp.broadcast_to(
+        jnp.arange(h, dtype=jnp.float32)[:, None] + offset[0], (h, w)
+    )
+    xs = jnp.broadcast_to(
+        jnp.arange(w, dtype=jnp.float32)[None, :] + offset[1], (h, w)
+    )
+    yy = ys - st.translation[0] - cy
+    xx = xs - st.translation[1] - cx
+    ca = jnp.cos(st.rotation)
+    sa = jnp.sin(st.rotation)
+    src_y = (sa * xx + ca * yy) * st.scale + cy - offset[0]
+    src_x = (ca * xx - sa * yy) * st.scale + cx - offset[1]
+    # undo the output offset on the source side too: plane (a, b) of the
+    # MOVED frame is also sampled at sites (+a/2, +b/2), so its array
+    # indices are positions minus the offset
+    return src_y, src_x
+
+
+def similarity_is_significant(
+    st: SimilarityTransform,
+    rot_eps: float = 2e-3,
+    scale_eps: float = 2e-3,
+) -> jnp.ndarray:
+    """Boolean per frame: the similarity deviates enough from identity
+    that resampling beats keeping original samples (0.002 rad moves an
+    image corner of the city frame by ~0.5 px)."""
+    return (jnp.abs(st.rotation) > rot_eps) | (
+        jnp.abs(st.scale - 1.0) > scale_eps
+    )
+
+
+def prewarp_frame(
+    frame: jnp.ndarray,
+    st: SimilarityTransform,
+    method: str = "bilinear",
+    offset: Tuple[float, float] = (0.0, 0.0),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Warp one (H, W) or (H, W, C) frame into reference geometry.
+    Returns (warped, valid) where valid is the in-bounds mask of the
+    source coordinates."""
+    h, w = frame.shape[0], frame.shape[1]
+    src_y, src_x = _source_grid(h, w, st, offset)
+    warped = remap(frame, src_y, src_x, method)
+    valid = (
+        (src_y >= 0.0)
+        & (src_y <= h - 1.0)
+        & (src_x >= 0.0)
+        & (src_x <= w - 1.0)
+    ).astype(frame.dtype)
+    return warped, valid
+
+
+def prealign_burst(
+    burst: jnp.ndarray,
+    gray: jnp.ndarray,
+    cfg: RegistrationConfig = RegistrationConfig(),
+    method: str = "bilinear",
+    with_translation: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pre-align an RGB/grayscale burst (F, H, W[, C]) against frame 0.
+
+    gray: (F, H, W) luma used for estimation. Returns
+    (burst', valid (F, H, W)) — frame 0 and near-identity frames pass
+    through with valid=1."""
+    st = estimate_burst_similarity(gray, cfg, with_translation)
+    use = similarity_is_significant(st)
+
+    def one(frame, st_k, use_k):
+        warped, valid = prewarp_frame(frame, st_k, method)
+        keep = use_k.astype(gray.dtype)
+        sel = jnp.where(use_k, warped, frame)
+        return sel, valid * keep + (1.0 - keep)
+
+    warped, valid = jax.vmap(one)(burst[1:], st, use)
+    ones = jnp.ones_like(gray[:1])
+    return (
+        jnp.concatenate([burst[:1], warped], axis=0),
+        jnp.concatenate([ones, valid], axis=0),
+    )
+
+
+def prealign_planes(
+    planes: jnp.ndarray,
+    gray_half: jnp.ndarray,
+    cfg: RegistrationConfig = RegistrationConfig(),
+    method: str = "bilinear",
+    with_translation: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pre-align a CFA-plane burst (F, 2, 2, hh, hw) using half-res luma
+    (F, hh, hw) for estimation. Each plane is warped with its own
+    (+a/2, +b/2) half-res site offset so chroma stays registered.
+    Returns (planes', valid (F, hh, hw))."""
+    st = estimate_burst_similarity(gray_half, cfg, with_translation)
+    use = similarity_is_significant(st)
+
+    def one(pl, st_k, use_k):
+        outs = []
+        for a in (0, 1):
+            row = []
+            for b in (0, 1):
+                wp, _ = prewarp_frame(
+                    pl[a, b], st_k, method, offset=(a / 2.0, b / 2.0)
+                )
+                row.append(jnp.where(use_k, wp, pl[a, b]))
+            outs.append(jnp.stack(row, 0))
+        warped = jnp.stack(outs, 0)
+        _, valid = prewarp_frame(pl[0, 0], st_k, "bilinear")
+        keep = use_k.astype(pl.dtype)
+        return warped, valid * keep + (1.0 - keep)
+
+    warped, valid = jax.vmap(one)(planes[1:], st, use)
+    ones = jnp.ones_like(gray_half[:1])
+    return (
+        jnp.concatenate([planes[:1], warped], axis=0),
+        jnp.concatenate([ones, valid], axis=0),
+    )

@@ -166,3 +166,57 @@ def test_handheld_superres_raw(rng):
     down = np.asarray(downsample2(jnp.asarray(out)))
     p = float(psnr(jnp.asarray(rgb[0]), jnp.asarray(down)))
     assert p > 22.0, f"RAW pipeline PSNR too low: {p}"
+
+
+def _color_base(rng, h, w, pad):
+    """Three INDEPENDENT texture channels so chroma errors (CFA crosstalk,
+    color fringing of the merge) can't hide behind replicated luma."""
+    bases = []
+    for _ in range(3):
+        b, _ = synthetic_burst(
+            rng, num_frames=1, height=h + 2 * pad, width=w + 2 * pad,
+            max_shift=0.0,
+        )
+        bases.append(b[0])
+    return np.stack(bases, axis=-1)
+
+
+def test_handheld_raw_true_color(rng):
+    """True-color burst through the RAW path: per-channel PSNR floors
+    catch chroma crosstalk that grayscale-replicated tests miss
+    (deBayer + CFA merge, DeBayerKernels.cu:289-468)."""
+    h = w = 64
+    base = _color_base(rng, h, w, pad=11)
+    burst, _ = synthetic_burst(
+        rng, num_frames=4, height=h, width=w, max_shift=2.0, base=base
+    )
+    raw = np.stack([mosaic_rggb(f) for f in burst])
+    cfg = HandheldConfig(
+        align=AlignConfig(tile_size=8, search_radius=4, levels=2), gamma=False
+    )
+    out = jax.jit(lambda b: handheld_superres_raw(b, cfg))(jnp.asarray(raw))
+    assert out.shape == (2 * h, 2 * w, 3)
+    from multi_frame_super_resolution_tpu.ops.geometry import downsample2
+
+    down = np.asarray(downsample2(out))
+    for c in range(3):
+        p = float(psnr(jnp.asarray(burst[0][..., c]), jnp.asarray(down[..., c])))
+        assert p > 20.0, f"channel {c}: {p}"
+
+
+def test_handheld_rgb_true_color(rng):
+    h = w = 64
+    base = _color_base(rng, h, w, pad=11)
+    burst, _ = synthetic_burst(
+        rng, num_frames=3, height=h, width=w, max_shift=2.0, base=base
+    )
+    cfg = HandheldConfig(
+        align=AlignConfig(tile_size=8, search_radius=4, levels=2), gamma=False
+    )
+    out = jax.jit(lambda b: handheld_superres(b, cfg))(jnp.asarray(burst))
+    from multi_frame_super_resolution_tpu.ops.geometry import downsample2
+
+    down = np.asarray(downsample2(out))
+    for c in range(3):
+        p = float(psnr(jnp.asarray(burst[0][..., c]), jnp.asarray(down[..., c])))
+        assert p > 24.0, f"channel {c}: {p}"

@@ -210,7 +210,22 @@ def test_register_rotation_scale(rng):
     moved = rotate(img, true_rot, method="bilinear")
     rot, scale, _ = jax.jit(register_rotation_scale)(img, moved)
     assert abs(float(scale) - 1.0) < 0.05
-    assert abs(abs(float(rot)) - true_rot) < 0.03
+    # SIGNED convention: the returned rotation is the angle of the
+    # unrotate map that brings `moved` back onto `img` (= -true)
+    assert abs(float(rot) + true_rot) < 0.03
+
+
+def test_register_rotation_scale_nonsquare(rng):
+    """Non-square frames: the spectrum must be sampled in isotropic
+    normalized frequency or the angle axis is warped by the aspect ratio
+    (the 256x512 city frames estimated -theta/2 before the fix)."""
+    burst, _ = _burst(rng, n=1, h=64, w=128)
+    img = jnp.asarray(burst[0])
+    for true_rot in (0.1, -0.2):
+        moved = rotate(img, true_rot, method="bilinear")
+        rot, scale, _ = jax.jit(register_rotation_scale)(img, moved)
+        assert abs(float(scale) - 1.0) < 0.05, float(scale)
+        assert abs(float(rot) + true_rot) < 0.04, (float(rot), true_rot)
 
 
 def test_register_similarity_end_to_end(rng):
@@ -218,8 +233,31 @@ def test_register_similarity_end_to_end(rng):
     img = jnp.asarray(burst[0])
     moved = translate(rotate(img, 0.1, method="bilinear"), 3.0, -2.0)
     tf = register_similarity(img, moved)
-    assert abs(abs(float(tf.rotation)) - 0.1) < 0.04
+    assert abs(float(tf.rotation) + 0.1) < 0.04
     assert abs(float(tf.scale) - 1.0) < 0.05
+
+
+def test_prealign_burst_recovers_rotated_frame(rng):
+    """prealign_burst must bring a rotated+shifted alternate back into
+    reference geometry (the city burst's 5-15 degree frames,
+    main.cpp:1896; baseRotation tile model kernel.cu:264-318)."""
+    from multi_frame_super_resolution_tpu.registration.prealign import (
+        prealign_burst,
+    )
+
+    burst, _ = _burst(rng, n=1, h=128, w=128)
+    img = jnp.asarray(burst[0])
+    moved = translate(rotate(img, 0.15, method="bilinear"), 2.0, -3.0)
+    stack = jnp.stack([img, moved])
+    out, valid = jax.jit(
+        lambda b: prealign_burst(b, b, with_translation=True)
+    )(stack)
+    m = 24
+    inner = (slice(m, -m), slice(m, -m))
+    before = float(jnp.abs(moved - img)[inner].mean())
+    after = float(jnp.abs(out[1] - img)[inner].mean())
+    assert after < 0.35 * before, (before, after)
+    assert float(valid[1][inner].mean()) > 0.9
 
 
 def test_align_burst_consistent_matches_direct(rng):

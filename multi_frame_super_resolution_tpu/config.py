@@ -124,6 +124,39 @@ class MergeConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class RegistrationConfig:
+    """FFT phase-correlation / log-polar registration (main.cpp:721-1194)."""
+
+    apodization_ratio: float = 0.12   # hanning border radius = ratio*min(h,w)
+    eps: float = 1e-15                # cross-power-spectrum epsilon
+    subpixel: bool = True
+    # --- TPU fast-path knobs (defaults = reference-parity slow path) ---
+    # log-polar resampling kernel: "bicubic" matches cv::cuda::remap cubic
+    # (main.cpp:1139); "bilinear" quarters the gather volume (the
+    # magnitude spectrum is smooth, measured estimate drift < 0.05 cells)
+    logpolar_interp: str = "bicubic"
+    # unrotate/unscale via the gatherless tile-decomposed warp
+    # (tile_warp_select + warp_bounded) instead of a per-pixel gather
+    # remap — the same one-hot machinery as the pipeline warps
+    fast_warp: bool = False
+    # estimate on 2^k-box-downsampled luma (translation rescaled back);
+    # halves every FFT/log-polar axis per step
+    downsample: int = 1
+    # >0: local matrix-DFT peak refinement at this upsampling factor
+    # instead of 3x3 quadratic interpolation (two small MXU matmuls;
+    # ~1/factor cell accuracy — recovers the precision downsampling and
+    # bilinear log-polar give up)
+    peak_upsample: int = 0
+
+
+# the similarity pre-alignment stage runs with the TPU-fast settings;
+# standalone registration keeps reference-parity defaults above
+PREALIGN_FAST = RegistrationConfig(
+    logpolar_interp="bilinear", fast_warp=True, downsample=2, peak_upsample=16
+)
+
+
+@dataclasses.dataclass(frozen=True)
 class HandheldConfig:
     """End-to-end handheld burst super-resolution pipeline."""
 
@@ -151,6 +184,10 @@ class HandheldConfig:
     # left unfinished (boxFilterNPP.cpp:102-166). Required for bursts
     # with per-frame rotation (city: 0/0/5/10/-15 deg, main.cpp:1896).
     prealign: bool = True
+    # registration settings for the pre-alignment stage (TPU-fast
+    # defaults; swap in RegistrationConfig() for reference-parity
+    # gather-based estimation)
+    prealign_cfg: RegistrationConfig = PREALIGN_FAST
 
 
 @dataclasses.dataclass(frozen=True)
@@ -231,13 +268,6 @@ class PolarDefogConfig:
     r_max: float = 0.999
 
 
-@dataclasses.dataclass(frozen=True)
-class RegistrationConfig:
-    """FFT phase-correlation / log-polar registration (main.cpp:721-1194)."""
-
-    apodization_ratio: float = 0.12   # hanning border radius = ratio*min(h,w)
-    eps: float = 1e-15                # cross-power-spectrum epsilon
-    subpixel: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -89,7 +89,7 @@ def handheld_superres(
             prealign_burst,
         )
 
-        burst, prevalid = prealign_burst(burst, gray)
+        burst, prevalid = prealign_burst(burst, gray, cfg.prealign_cfg)
         gray = rgb_to_gray(burst)
     else:
         prevalid = None
@@ -136,7 +136,7 @@ def _handheld_fast(burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
             prealign_burst,
         )
 
-        burst, prevalid = prealign_burst(burst, gray)
+        burst, prevalid = prealign_burst(burst, gray, cfg.prealign_cfg)
         gray = rgb_to_gray(burst)
         # carry validity through the integer tile warp as a 4th channel
         burst = jnp.concatenate([burst, prevalid[..., None]], axis=-1)
@@ -254,7 +254,9 @@ def handheld_superres_raw(
             prealign_planes,
         )
 
-        planes, prevalid = prealign_planes(raw_to_planes(raw_burst), gray_half)
+        planes, prevalid = prealign_planes(
+            raw_to_planes(raw_burst), gray_half, cfg.prealign_cfg
+        )
         raw_burst = planes_to_raw(planes)
         half = jax.vmap(lambda r: debayer_subsample(r, cfg.cfa_pattern))(raw_burst)
         gray_half = rgb_to_gray(half)
@@ -342,7 +344,7 @@ def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarr
             prealign_planes,
         )
 
-        planes, prevalid = prealign_planes(planes, gray_half)
+        planes, prevalid = prealign_planes(planes, gray_half, cfg.prealign_cfg)
         half = _subsample_from_planes(planes, cfg.cfa_pattern)
         gray_half = rgb_to_gray(half)
     else:

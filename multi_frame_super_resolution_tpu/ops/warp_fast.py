@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -171,6 +172,140 @@ def warp_decomposed(
     return warp_bounded(shifted, residual, residual_bound)
 
 
+def _axis_linear_resample(
+    img: jnp.ndarray,
+    src: jnp.ndarray,
+    axis: int,
+    bound: int,
+    residual_bound: int = 10,
+) -> jnp.ndarray:
+    """1-D linear resample of (H, W[, C]) along ``axis`` at per-pixel
+    ABSOLUTE source coordinates src (H, W): the other axis is indexed
+    identically. Borders replicate (coords clamped). Gatherless.
+
+    The integer shift splits into a per-orthogonal-line mean (constant
+    along the shifted axis, so the two-level one-hot composition is
+    EXACT for it — see _axis_onehot_shift) plus a per-pixel residual
+    applied by a direct one-hot. For an affine map the residual is the
+    line's stretch only: |res| <= |d src/d axis - 1| * size/2, e.g.
+    ~4.5 px for a 15-deg rotation at width 256 — ``residual_bound``
+    covers it with a 2*rb+3 static window."""
+    size = img.shape[axis]
+    rb = residual_bound
+    pos = jax.lax.broadcasted_iota(jnp.float32, src.shape, axis)
+    base = jnp.floor(src)
+    frac = jnp.clip(src - base, 0.0, 1.0)
+    if img.ndim == 3:
+        frac = frac[..., None]
+    # per-line hoist from the UNCLAMPED map (for an affine map the line
+    # mean is its center value, so the residual is the pure stretch
+    # term). The hoisted pass runs on an rb-extended domain so the
+    # residual pass below addresses true absolute positions even at the
+    # array ends; absolute targets are clamped to the image (replicate),
+    # matching the gather remap's index clamp.
+    hoist_f = jnp.clip(
+        jnp.round(jnp.mean(base - pos, axis=axis, keepdims=True)), -bound, bound
+    )
+    pads = [(0, 0)] * img.ndim
+    pads[axis] = (rb, rb)
+    img_p = jnp.pad(img, pads, mode="edge")
+    ext_shape = list(src.shape)
+    ext_shape[axis] += 2 * rb
+    g_ext = _axis_onehot_shift(
+        img_p,
+        jnp.broadcast_to(hoist_f.astype(jnp.int32), tuple(ext_shape)),
+        bound,
+        axis,
+    )
+
+    def tap(k):
+        target = jnp.clip(base + k, 0.0, size - 1.0)
+        res = jnp.clip(target - pos - hoist_f, -rb, rb).astype(jnp.int32)
+        return _axis_onehot_direct(g_ext, res, rb, axis, prepadded=True)
+
+    return tap(0) * (1.0 - frac) + tap(1) * frac
+
+
+def _axis_onehot_direct(
+    img: jnp.ndarray, smap: jnp.ndarray, bound: int, axis: int,
+    prepadded: bool = False,
+) -> jnp.ndarray:
+    """Direct one-hot select shift along one axis (2*bound+1 static
+    copies): out[p] = img[p + smap[p]] along ``axis``, edge-clamped.
+    Valid for ARBITRARY per-pixel maps |smap| <= bound (unlike the
+    two-level decomposition in _axis_onehot_shift, which is exact only
+    for maps constant along the shifted axis). ``prepadded``: the input
+    already carries ``bound`` extra entries on each end of ``axis``
+    (with meaningful content, not edge replicas)."""
+    b = bound
+    smap = jnp.clip(smap, -b, b)
+
+    def take(x, start, length):
+        idx = (slice(None),) * axis + (slice(start, start + length),)
+        return x[idx]
+
+    if prepadded:
+        padded = img
+        h = img.shape[axis] - 2 * b
+    else:
+        h = img.shape[axis]
+        pads = [(0, 0)] * img.ndim
+        pads[axis] = (b, b)
+        padded = jnp.pad(img, pads, mode="edge")
+    stack_ = jnp.stack([take(padded, b + d, h) for d in range(-b, b + 1)], 0)
+    dvals = jnp.arange(-b, b + 1)
+    oh = (smap[None] == dvals.reshape((-1,) + (1,) * smap.ndim)).astype(img.dtype)
+    oh = oh.reshape(oh.shape + (1,) * (img.ndim - smap.ndim))
+    return jnp.sum(stack_ * oh, axis=0)
+
+
+def similarity_warp_fast(
+    img: jnp.ndarray,
+    src_y: jnp.ndarray,
+    src_x: jnp.ndarray,
+    bound: int | None = None,
+) -> jnp.ndarray:
+    """Gatherless resample of ``img`` at AFFINE source-coordinate fields
+    (H, W): out(p) ~= img(src(p)), via the Catmull-Smith two-pass
+    decomposition — 1-D x-resample along rows with the row-corrected
+    source map u(y', x), then 1-D y-resample with src_y — each pass a
+    per-pixel one-hot select (exact 1-D linear interpolation, no tile
+    approximation). The affine coefficients are read off the grids by
+    finite differences, so any affine field works; accuracy degrades only
+    if the grids are not affine.
+
+    A naive separable one-hot warp evaluates the y-shift map at the
+    x-shifted column — for a rotation that misplaces rows by up to
+    theta * |shift_x| (~9 px at 15 deg near image corners). The two-pass
+    form resamples row y' at u(y', x), the x-source of the point on row
+    y' that lands on output column x, which composes exactly.
+
+    Relative shifts are clamped to ``bound`` (default sized for ~20-deg
+    corner displacement plus translation at this image size); beyond it
+    the warp saturates and the caller's validity mask owns the result.
+    """
+    h, w = img.shape[0], img.shape[1]
+    if bound is None:
+        bound = int(np.ceil(0.35 * float(np.hypot(h / 2.0, w / 2.0)))) + 24
+    # affine coefficients from the grids (exact for affine fields)
+    a_yy = src_y[1, 0] - src_y[0, 0]
+    a_yx = src_y[0, 1] - src_y[0, 0]
+    e_y = src_y[0, 0]
+    a_xy = src_x[1, 0] - src_x[0, 0]
+    a_xx = src_x[0, 1] - src_x[0, 0]
+    e_x = src_x[0, 0]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    # pass 1 (x): row y' contributes to output column x at source
+    # u(y', x) = a_xy * (y' - a_yx*x - e_y)/a_yy + a_xx*x + e_x
+    safe_a_yy = jnp.where(jnp.abs(a_yy) > 1e-6, a_yy, 1.0)
+    u = a_xy * (ys - a_yx * xs - e_y) / safe_a_yy + a_xx * xs + e_x
+    tmp = _axis_linear_resample(img, u, axis=1, bound=bound)
+    # pass 2 (y): out(y, x) = tmp(src_y(y, x), x)
+    v = a_yy * ys + a_yx * xs + e_y
+    return _axis_linear_resample(tmp, v, axis=0, bound=bound)
+
+
 def _axis_onehot_shift(
     img: jnp.ndarray, smap: jnp.ndarray, bound: int, axis: int
 ) -> jnp.ndarray:
@@ -200,11 +335,7 @@ def _axis_onehot_shift(
         return jnp.sum(stack_ * oh, axis=0)
 
     if 2 * b + 1 <= 13:
-        pads = [(0, 0)] * img.ndim
-        pads[axis] = (b, b)
-        padded = jnp.pad(img, pads, mode="edge")
-        stack_ = jnp.stack([take(padded, b + d, h) for d in range(-b, b + 1)], 0)
-        return onehot_mul(stack_, smap, jnp.arange(-b, b + 1))
+        return _axis_onehot_direct(img, smap, b, axis)
 
     # two-level decomposition: s = c*q + r, r in [0, c)
     c = max(2, int(np.round(np.sqrt(2 * b + 1))))

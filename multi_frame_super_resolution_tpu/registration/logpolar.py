@@ -103,9 +103,11 @@ def register_rotation_scale(
     hp = jnp.asarray(high_pass_filter(rows, cols))
     m0 = _spectral_magnitude(im0, win, hp)
     m1 = _spectral_magnitude(im1, win, hp)
-    lp0 = to_log_polar(m0)
-    lp1 = to_log_polar(m1)
-    (shift, peak) = phase_correlate(lp0, lp1, cfg.eps, cfg.subpixel)
+    lp0 = to_log_polar(m0, cfg.logpolar_interp)
+    lp1 = to_log_polar(m1, cfg.logpolar_interp)
+    (shift, peak) = phase_correlate(
+        lp0, lp1, cfg.eps, cfg.subpixel, refine=cfg.peak_upsample
+    )
     # row shift <-> rotation (angle step pi/(size-1), negative direction);
     # col shift <-> log-radius <-> scale
     rotation = shift[0] * (jnp.pi / (size - 1))
@@ -122,7 +124,9 @@ def register_translation(
     win = jnp.asarray(
         apodization_window(rows, cols, int(cfg.apodization_ratio * min(rows, cols)))
     )
-    return phase_correlate(im0, im1, cfg.eps, cfg.subpixel, window=win)
+    return phase_correlate(
+        im0, im1, cfg.eps, cfg.subpixel, window=win, refine=cfg.peak_upsample
+    )
 
 
 def register_similarity(
@@ -141,6 +145,13 @@ def register_similarity(
     sa = jnp.sin(rotation)
     src_y = (sa * xs + ca * ys) * scale + cy
     src_x = (ca * xs - sa * ys) * scale + cx
-    unrotated = remap(im1, src_y, src_x, "bicubic")
+    if cfg.fast_warp:
+        from multi_frame_super_resolution_tpu.ops.warp_fast import (
+            similarity_warp_fast,
+        )
+
+        unrotated = similarity_warp_fast(im1, src_y, src_x)
+    else:
+        unrotated = remap(im1, src_y, src_x, "bicubic")
     shift, peak = register_translation(im0, unrotated, cfg)
     return SimilarityTransform(rotation=rotation, scale=scale, translation=shift, response=peak)

@@ -52,20 +52,60 @@ def _peak_with_subpixel(resp: jnp.ndarray, subpixel: bool) -> Tuple[jnp.ndarray,
     return shift, peak
 
 
+def _dft_refine_peak(
+    cps: jnp.ndarray, shift_int: jnp.ndarray, upsample: int, halfwidth: float = 1.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Local matrix-DFT peak refinement (Guizar-Sicairos et al.,
+    "Efficient subpixel image registration algorithms", Opt. Lett. 2008):
+    evaluate the inverse DFT of the normalized cross-power spectrum on a
+    1/upsample-step grid within +-halfwidth px of the integer peak, as
+    two small complex matmuls (MXU work, no gathers; the idiomatic TPU
+    replacement for the 5x5 neighborhood refinement the reference left
+    unfinished at main.cpp:840-850).
+
+    cps: (H, W) normalized cross-power spectrum (pre-IFFT);
+    shift_int: (2,) float integer-peak shift. Returns (shift, peak)."""
+    h, w = cps.shape
+    n = 2 * int(round(halfwidth * upsample)) + 1
+    offs = (jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0) / upsample
+    fy = jnp.fft.fftfreq(h).astype(jnp.float32)
+    fx = jnp.fft.fftfreq(w).astype(jnp.float32)
+    ys = shift_int[0] + offs
+    xs = shift_int[1] + offs
+    my = jnp.exp(2j * jnp.pi * ys[:, None] * fy[None, :])      # (n, H)
+    mx = jnp.exp(2j * jnp.pi * fx[:, None] * xs[None, :])      # (W, n)
+    r = jnp.real(my @ cps @ mx) / (h * w)                      # (n, n)
+    idx = jnp.argmax(r.reshape(-1))
+    return (
+        jnp.stack([ys[idx // n], xs[idx % n]]),
+        r.reshape(-1)[idx],
+    )
+
+
 def phase_correlate(
     a: jnp.ndarray,
     b: jnp.ndarray,
     eps: float = 1e-15,
     subpixel: bool = True,
     window: jnp.ndarray | None = None,
+    refine: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Estimate the translation (dy, dx) such that b(x) ~= a(x + d).
 
     Returns (shift (2,), peak response). Unbatched 2-D inputs; use vmap for
-    batches of tiles.
+    batches of tiles. ``refine`` > 0 replaces the 3x3 quadratic subpixel
+    interpolation with local matrix-DFT upsampling at that factor
+    (~1/refine px accuracy — used by the pre-alignment stage, where the
+    rotation estimate rides on this peak's position).
     """
     if window is not None:
         a = a * window
         b = b * window
-    resp = correlation_surface(a, b, eps)
-    return _peak_with_subpixel(resp, subpixel)
+    fa = jnp.fft.fft2(a)
+    fb = jnp.fft.fft2(b)
+    cps = cross_power_spectrum(fa, fb, eps)
+    resp = jnp.fft.fftshift(jnp.real(jnp.fft.ifft2(cps)), axes=(-2, -1))
+    if refine <= 1:
+        return _peak_with_subpixel(resp, subpixel)
+    shift_int, _ = _peak_with_subpixel(resp, subpixel=False)
+    return _dft_refine_peak(cps, shift_int, refine)

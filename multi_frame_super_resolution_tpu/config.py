@@ -52,6 +52,12 @@ class AlignConfig:
     # (see tiles.extract_search_windows_fast) but no data-dependent gather
     # is emitted — much faster on TPU. Requires search_radius <= tile/2.
     fast_extract: bool = True
+    # compute the tile SSD cross term by batched per-tile FFT correlation
+    # (the reference's route, kernel.cu:484-501) instead of the direct
+    # MXU contraction — worthwhile for LARGE search radii (R >~ T/2),
+    # where it is also the only non-gather window path (fast_extract
+    # requires R <= T/2)
+    use_fft: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

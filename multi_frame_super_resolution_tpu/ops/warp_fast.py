@@ -177,7 +177,7 @@ def _axis_linear_resample(
     src: jnp.ndarray,
     axis: int,
     bound: int,
-    residual_bound: int = 10,
+    residual_bound: int = 8,
 ) -> jnp.ndarray:
     """1-D linear resample of (H, W[, C]) along ``axis`` at per-pixel
     ABSOLUTE source coordinates src (H, W): the other axis is indexed

@@ -78,7 +78,11 @@ def align_frames(
             windows = tile_gather_pallas(
                 a, rounded.astype(jnp.int32), cfg.tile_size, cfg.search_radius
             )
-        elif cfg.fast_extract and 2 * cfg.search_radius <= cfg.tile_size:
+        elif (
+            cfg.fast_extract
+            and not cfg.use_fft
+            and 2 * cfg.search_radius <= cfg.tile_size
+        ):
             # fully fused image-level path: tile-warp each frame by the
             # rounded prediction, then one multiply + tile-reduce for all
             # SSD surfaces (no windows materialized at all)
@@ -112,7 +116,15 @@ def align_frames(
                     img, cfg.tile_size, cfg.search_radius, pre
                 )
             )(a, rounded)
-        ssd = jax.vmap(lambda w: ssd_surface(ref_tiles, w, cfg.search_radius))(windows)
+        if cfg.use_fft:
+            from multi_frame_super_resolution_tpu.registration.tiles import (
+                ssd_surface_fft,
+            )
+
+            ssd_fn = ssd_surface_fft
+        else:
+            ssd_fn = ssd_surface
+        ssd = jax.vmap(lambda w: ssd_fn(ref_tiles, w, cfg.search_radius))(windows)
         found = jax.vmap(
             lambda s: find_min_shift(
                 s, cfg.search_radius, cfg.peak_threshold, cfg.subpixel

@@ -63,8 +63,16 @@ def estimate_burst_similarity(
     log-polar maps, and warps shrink by ds per axis — this is where the
     stage's TPU time goes) and rescales the translation back; rotation
     and scale are resolution-invariant. The residual estimation error
-    (<~0.5 px at ds=2) is inside the tile pyramid's capture range."""
+    (<~0.5 px at ds=2) is inside the tile pyramid's capture range.
+
+    Downsampling stops when the log-polar map would fall under 128
+    cells: below that the rotation/scale quantization visibly hurts
+    (measured on the 130x228 car burst: ds=2 estimates cost ~1.9 dB on
+    the RGB pipeline vs full-res estimates)."""
     ds = max(int(cfg.downsample), 1)
+    h, w = gray.shape[-2], gray.shape[-1]
+    while ds > 1 and max(h // ds, w // ds) < 128:
+        ds //= 2
     if ds > 1:
         gray = _box_down(gray, ds)
     ref = gray[0]
@@ -136,7 +144,11 @@ def similarity_is_significant(
 ) -> jnp.ndarray:
     """Boolean per frame: the similarity deviates enough from identity
     that resampling beats keeping original samples (0.002 rad moves an
-    image corner of the city frame by ~0.5 px)."""
+    image corner of the city frame by ~0.5 px). The warp applies the
+    SUBPIXEL global translation too, which the per-tile integer +
+    bounded-residual pipeline cannot fully use — on the car burst
+    warping its barely-significant frames is worth ~+2 dB RGB, so the
+    gate errs toward warping."""
     return (jnp.abs(st.rotation) > rot_eps) | (
         jnp.abs(st.scale - 1.0) > scale_eps
     )
@@ -215,35 +227,71 @@ def prealign_planes(
     """Pre-align a CFA-plane burst (F, 2, 2, hh, hw) using half-res luma
     (F, hh, hw) for estimation. Each plane is warped with its own
     (+a/2, +b/2) half-res site offset so chroma stays registered.
-    Returns (planes', valid (F, hh, hw))."""
-    st = estimate_burst_similarity(gray_half, cfg, with_translation)
-    use = similarity_is_significant(st)
+    Returns (planes', valid (F, hh, hw)).
 
-    def one(pl, st_k, use_k):
-        outs = []
-        for a in (0, 1):
-            row = []
-            for b in (0, 1):
-                wp, _ = prewarp_frame(
-                    pl[a, b], st_k, method, offset=(a / 2.0, b / 2.0),
-                    fast=cfg.fast_warp,
-                )
-                row.append(jnp.where(use_k, wp, pl[a, b]))
-            outs.append(jnp.stack(row, 0))
-        warped = jnp.stack(outs, 0)
-        # validity is pure coordinate math (no resample needed)
-        hh, hw = pl.shape[-2], pl.shape[-1]
+    The significance gate is 3x stricter than the RGB path's: warping
+    the half-res CFA planes resamples each sparse color channel, which
+    costs real chroma resolution — only clearly-rotated/scaled frames
+    (>~2 px corner displacement) are worth it. Measured on the car
+    burst: warping its ~0.2%-scale frames costs 1.2 dB RAW while the
+    same warps GAIN 2.6 dB on the RGB path."""
+    st = estimate_burst_similarity(gray_half, cfg, with_translation)
+    use = similarity_is_significant(st, rot_eps=6e-3, scale_eps=6e-3)
+    fm1 = planes.shape[0] - 1
+    hh, hw = planes.shape[-2], planes.shape[-1]
+
+    if cfg.fast_warp:
+        from multi_frame_super_resolution_tpu.ops.warp_fast import (
+            similarity_warp_fast,
+        )
+
+        # ONE vmapped trace over all (alternate, plane) pairs: the source
+        # grids differ per plane only through the (+a/2, +b/2) site
+        # offsets, so they are built outside the warp and stacked
+        def grids(st_k):
+            g = [
+                jnp.stack(_source_grid(hh, hw, st_k, (a / 2.0, b / 2.0)), 0)
+                for a in (0, 1)
+                for b in (0, 1)
+            ]
+            return jnp.stack(g, 0)  # (4, 2, hh, hw)
+
+        g = jax.vmap(grids)(st).reshape(fm1 * 4, 2, hh, hw)
+        flat = planes[1:].reshape(fm1 * 4, hh, hw)
+        warped = jax.vmap(
+            lambda im, gg: similarity_warp_fast(im, gg[0], gg[1])
+        )(flat, g).reshape(fm1, 2, 2, hh, hw)
+    else:
+
+        def one_slow(pl, st_k):
+            outs = []
+            for a in (0, 1):
+                row = []
+                for b in (0, 1):
+                    wp, _ = prewarp_frame(
+                        pl[a, b], st_k, method, offset=(a / 2.0, b / 2.0)
+                    )
+                    row.append(wp)
+                outs.append(jnp.stack(row, 0))
+            return jnp.stack(outs, 0)
+
+        warped = jax.vmap(one_slow)(planes[1:], st)
+
+    warped = jnp.where(use[:, None, None, None, None], warped, planes[1:])
+
+    # validity is pure coordinate math (no resample needed)
+    def valid_one(st_k, use_k):
         src_y, src_x = _source_grid(hh, hw, st_k)
         valid = (
             (src_y >= 0.0)
             & (src_y <= hh - 1.0)
             & (src_x >= 0.0)
             & (src_x <= hw - 1.0)
-        ).astype(pl.dtype)
-        keep = use_k.astype(pl.dtype)
-        return warped, valid * keep + (1.0 - keep)
+        ).astype(planes.dtype)
+        keep = use_k.astype(planes.dtype)
+        return valid * keep + (1.0 - keep)
 
-    warped, valid = jax.vmap(one)(planes[1:], st, use)
+    valid = jax.vmap(valid_one)(st, use)
     ones = jnp.ones_like(gray_half[:1])
     return (
         jnp.concatenate([planes[:1], warped], axis=0),

@@ -120,6 +120,21 @@ def extract_search_windows_fast(
     return dxy[:, :, :b, :b]
 
 
+def _window_energies(windows: jnp.ndarray, t: int) -> jnp.ndarray:
+    """Sliding T x T energy sums of (..., T+2R, T+2R) windows via integral
+    images (boxFilterWithBorderX/Y equivalent, kernel.cu:148-218).
+    Returns (..., 2R+1, 2R+1)."""
+    sq = windows * windows
+    pads = ((0, 0),) * (windows.ndim - 2) + ((1, 0), (1, 0))
+    ii = jnp.pad(sq, pads).cumsum(-2).cumsum(-1)
+    return (
+        ii[..., t:, t:]
+        - ii[..., :-t, t:]
+        - ii[..., t:, :-t]
+        + ii[..., :-t, :-t]
+    )
+
+
 def ssd_surface(ref_tiles: jnp.ndarray, windows: jnp.ndarray, radius: int) -> jnp.ndarray:
     """SSD over all (2R+1)^2 integer shifts for every tile.
 
@@ -135,14 +150,7 @@ def ssd_surface(ref_tiles: jnp.ndarray, windows: jnp.ndarray, radius: int) -> jn
     tsq = jnp.sum(ref_tiles * ref_tiles, axis=(-2, -1))
 
     # window energies via integral image (boxFilterWithBorderX/Y equivalent)
-    sq = windows * windows
-    ii = jnp.pad(sq, ((0, 0), (0, 0), (1, 0), (1, 0))).cumsum(-2).cumsum(-1)
-    wsq = (
-        ii[..., t:, t:]
-        - ii[..., :-t, t:]
-        - ii[..., t:, :-t]
-        + ii[..., :-t, :-t]
-    )  # (nty, ntx, 2R+1, 2R+1)
+    wsq = _window_energies(windows, t)  # (nty, ntx, 2R+1, 2R+1)
 
     # cross term as ONE batched MXU contraction: flatten tile pixels onto
     # the lane dimension (layout-safe, unlike an (..., T, T) im2col) and
@@ -162,6 +170,34 @@ def ssd_surface(ref_tiles: jnp.ndarray, windows: jnp.ndarray, radius: int) -> jn
         "nk,nsk->ns", ref_flat, patches, precision=jax.lax.Precision.HIGHEST
     ).reshape(nty, ntx, s, s)
 
+    return tsq[..., None, None] + wsq - 2.0 * cc
+
+
+def ssd_surface_fft(
+    ref_tiles: jnp.ndarray, windows: jnp.ndarray, radius: int
+) -> jnp.ndarray:
+    """Same surface as ``ssd_surface``, with the cross term computed by
+    batched per-tile FFT cross-correlation — the reference's own route
+    (tile FFT -> conjugateComplexMulKernel -> IFFT, kernel.cu:484-501
+    with the fftshift folded into taking the first (2R+1)^2 lags of the
+    zero-padded circular correlation).
+
+    The direct MXU contraction wins for small search windows (S^2 * T^2
+    MACs/tile); the FFT route's cost grows only log-linearly with the
+    window, so it takes over for LARGE radii (R >~ T/2, e.g. wide
+    coarse-level searches). Identical output layout/semantics; parity is
+    pinned in tests/test_registration.py.
+    """
+    t = ref_tiles.shape[-1]
+    t2 = windows.shape[-1]
+    s = 2 * radius + 1
+    tsq = jnp.sum(ref_tiles * ref_tiles, axis=(-2, -1))
+    wsq = _window_energies(windows, t)
+    fr = jnp.fft.rfft2(ref_tiles, s=(t2, t2))
+    fw = jnp.fft.rfft2(windows)
+    # circular correlation of the zero-padded template is linear for the
+    # first 2R+1 lags (t + 2R <= t2, no wraparound)
+    cc = jnp.fft.irfft2(jnp.conj(fr) * fw, s=(t2, t2))[..., :s, :s]
     return tsq[..., None, None] + wsq - 2.0 * cc
 
 

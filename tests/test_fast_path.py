@@ -109,10 +109,10 @@ def test_handheld_fast_close_to_oracle(rng):
     rgb = jnp.asarray(np.stack([burst] * 3, axis=-1))
     align = AlignConfig(tile_size=16, search_radius=4, levels=2)
     fast = jax.jit(
-        lambda b: handheld_superres(b, HandheldConfig(align=align, fast=True))
+        lambda b: handheld_superres(b, HandheldConfig(align=align, fast=True, prealign=False))
     )(rgb)
     slow = jax.jit(
-        lambda b: handheld_superres(b, HandheldConfig(align=align, fast=False))
+        lambda b: handheld_superres(b, HandheldConfig(align=align, fast=False, prealign=False))
     )(rgb)
     p = float(psnr(slow[8:-8, 8:-8], fast[8:-8, 8:-8]))
     assert p > 25.0, p
@@ -214,12 +214,12 @@ def test_handheld_raw_fast_close_to_oracle(rng):
     align = AlignConfig(tile_size=8, search_radius=4, levels=2)
     fast = jax.jit(
         lambda b: handheld_superres_raw(
-            b, HandheldConfig(align=align, fast=True, gamma=False)
+            b, HandheldConfig(align=align, fast=True, gamma=False, prealign=False)
         )
     )(raw)
     slow = jax.jit(
         lambda b: handheld_superres_raw(
-            b, HandheldConfig(align=align, fast=False, gamma=False)
+            b, HandheldConfig(align=align, fast=False, gamma=False, prealign=False)
         )
     )(raw)
     p = float(psnr(slow[8:-8, 8:-8], fast[8:-8, 8:-8]))

@@ -23,6 +23,10 @@ from multi_frame_super_resolution_tpu.utils import psnr
 def _cfg(levels=2):
     return HandheldConfig(
         align=AlignConfig(tile_size=16, search_radius=4, levels=levels),
+        # synthetic bursts are translation-only: the global similarity
+        # pre-alignment stage is covered by tests/test_registration.py
+        # and skipped here to keep CPU compile time down
+        prealign=False,
     )
 
 
@@ -155,7 +159,8 @@ def test_handheld_superres_raw(rng):
     rgb = np.stack([burst] * 3, axis=-1)
     raw = np.stack([mosaic_rggb(f) for f in rgb])
     cfg = HandheldConfig(
-        align=AlignConfig(tile_size=8, search_radius=4, levels=2), gamma=False
+        align=AlignConfig(tile_size=8, search_radius=4, levels=2), gamma=False,
+        prealign=False,
     )
     out = jax.jit(lambda b: handheld_superres_raw(b, cfg))(jnp.asarray(raw))
     assert out.shape == (128, 128, 3)
@@ -192,7 +197,8 @@ def test_handheld_raw_true_color(rng):
     )
     raw = np.stack([mosaic_rggb(f) for f in burst])
     cfg = HandheldConfig(
-        align=AlignConfig(tile_size=8, search_radius=4, levels=2), gamma=False
+        align=AlignConfig(tile_size=8, search_radius=4, levels=2), gamma=False,
+        prealign=False,
     )
     out = jax.jit(lambda b: handheld_superres_raw(b, cfg))(jnp.asarray(raw))
     assert out.shape == (2 * h, 2 * w, 3)
@@ -211,7 +217,8 @@ def test_handheld_rgb_true_color(rng):
         rng, num_frames=3, height=h, width=w, max_shift=2.0, base=base
     )
     cfg = HandheldConfig(
-        align=AlignConfig(tile_size=8, search_radius=4, levels=2), gamma=False
+        align=AlignConfig(tile_size=8, search_radius=4, levels=2), gamma=False,
+        prealign=False,
     )
     out = jax.jit(lambda b: handheld_superres(b, cfg))(jnp.asarray(burst))
     from multi_frame_super_resolution_tpu.ops.geometry import downsample2

@@ -34,6 +34,7 @@ def _cfg(tile=8):
     return HandheldConfig(
         align=AlignConfig(tile_size=tile, search_radius=2, levels=2),
         lk=LKConfig(half_window=4, iterations=1),
+        prealign=False,
     )
 
 

@@ -107,6 +107,37 @@ def test_ssd_matches_naive(rng):
             np.testing.assert_allclose(got[:, :, u, v], expect, rtol=1e-4, atol=1e-4)
 
 
+def test_ssd_surface_fft_matches_direct(rng):
+    """The FFT correlation route (kernel.cu:484-501 equivalent) must
+    reproduce the direct MXU contraction's surface bit-for-tolerance."""
+    from multi_frame_super_resolution_tpu.registration.tiles import (
+        ssd_surface_fft,
+    )
+
+    for t, r in [(8, 2), (16, 4), (8, 6)]:
+        ref = rng.random((3, 2, t, t)).astype(np.float32)
+        win = rng.random((3, 2, t + 2 * r, t + 2 * r)).astype(np.float32)
+        direct = np.asarray(ssd_surface(jnp.asarray(ref), jnp.asarray(win), r))
+        fft = np.asarray(ssd_surface_fft(jnp.asarray(ref), jnp.asarray(win), r))
+        np.testing.assert_allclose(fft, direct, rtol=2e-3, atol=2e-3)
+
+
+def test_align_large_radius_fft_route(rng):
+    """Radii beyond tile_size/2 (where the gatherless fast path cannot
+    run) must still align through the FFT route — the capability envelope
+    of the reference's FFT correlation alignment."""
+    from multi_frame_super_resolution_tpu.registration.align import align_pair
+
+    burst, _ = _burst(rng, n=1, h=96, w=96)
+    img = jnp.asarray(burst[0])
+    moved = translate(img, -9.0, 11.0)
+    cfg = AlignConfig(tile_size=16, search_radius=12, levels=1, use_fft=True)
+    shifts = np.asarray(jax.jit(lambda a, b: align_pair(a, b, cfg))(img, moved))
+    inner = shifts[1:-1, 1:-1]
+    np.testing.assert_allclose(inner[..., 0], 9.0, atol=0.35)
+    np.testing.assert_allclose(inner[..., 1], -11.0, atol=0.35)
+
+
 def test_find_min_shift_border_zeroed():
     ssd = np.ones((1, 1, 9, 9), np.float32)
     ssd[0, 0, 0, 0] = 0.0  # min on the border -> reference zeroes the shift

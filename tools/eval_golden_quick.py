@@ -12,7 +12,11 @@ def main():
     from multi_frame_super_resolution_tpu.ops.geometry import downsample2
     from multi_frame_super_resolution_tpu.utils import psnr
 
+    import os
+    sel = os.environ.get("MFSR_EVAL_SETS", "city,car,iso").split(",")
     for name, tile in [("city", 16), ("car", 8), ("iso", 16)]:
+        if name not in sel:
+            continue
         burst = load_burst(name)
         cfg = HandheldConfig(align=AlignConfig(tile_size=tile, search_radius=4, levels=2), gamma=False)
         raw = jnp.asarray(np.stack([mosaic_rggb(f) for f in burst]))

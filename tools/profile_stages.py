@@ -157,8 +157,22 @@ def main():
     def full(x):
         return handheld_superres_raw(x["raw"], cfg)
 
+    def stage_prealign(x):
+        from multi_frame_super_resolution_tpu.config import PREALIGN_FAST
+        from multi_frame_super_resolution_tpu.models.fast_merge import (
+            raw_to_planes,
+        )
+        from multi_frame_super_resolution_tpu.registration.prealign import (
+            prealign_planes,
+        )
+
+        return prealign_planes(
+            raw_to_planes(x["raw"]), x["gray_half"], PREALIGN_FAST
+        )[0]
+
     stages = [
         ("full_pipeline", full),
+        ("prealign_planes", stage_prealign),
         ("debayer_subsample", stage_debayer),
         ("align", stage_align),
         ("tile_warp_planes", stage_warp),

@@ -140,11 +140,30 @@ def gaussian_blur(img: jnp.ndarray, sigma: float, size: int | None = None) -> jn
 
 
 def box_filter(img: jnp.ndarray, size: int, normalize: bool = True) -> jnp.ndarray:
-    """Box filter (NPP boxFilter / kernel.cu:148-218 equivalent)."""
-    k = np.ones((size,), np.float32)
+    """Box filter (NPP boxFilter / kernel.cu:148-218 equivalent).
+
+    Uniform taps admit a sliding-sum lowering: per axis one cumsum plus
+    one static-shift subtract — O(1) work per element on the VPU, beating
+    both the conv and the banded-matmul lowerings for the wide windows
+    the LK refinement uses (17x17). Borders replicate, matching
+    separable_filter(ones) exactly: the cumsum runs on an edge-padded
+    array so clamped taps re-count the border sample."""
+    r = size // 2
+
+    def axis_sum(x, axis):
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (r + 1, r)
+        xp = jnp.pad(x, pads, mode="edge")
+        cs = jnp.cumsum(xp, axis=axis)
+        n = x.shape[axis]
+        lo = lax.slice_in_dim(cs, 0, n, axis=axis)
+        hi = lax.slice_in_dim(cs, size, size + n, axis=axis)
+        return hi - lo
+
+    out = axis_sum(axis_sum(img, 0), 1)
     if normalize:
-        k = k / size
-    return separable_filter(img, k, k)
+        out = out / float(size * size)
+    return out
 
 
 def laplacian_sharpen(img: jnp.ndarray) -> jnp.ndarray:

@@ -44,9 +44,13 @@ def main(argv=None) -> int:
         data = jnp.asarray(burst_np)
         fn = jax.jit(lambda b: handheld_superres(b, cfg))
 
+    import os
+
     out_px = burst_np.shape[1] * scale * burst_np.shape[2] * scale
     result = measure(
-        lambda: fn(data), warmup=2, iters=10,
+        lambda: fn(data),
+        warmup=max(int(os.environ.get("MFSR_BENCH_WARMUP", "2")), 1),
+        iters=max(int(os.environ.get("MFSR_BENCH_ITERS", "10")), 1),
         name=f"handheld-{input_name}{'-raw' if use_raw else ''}",
         pixels_per_iter=float(out_px),
     )

@@ -20,11 +20,19 @@ def main():
 
     rng = np.random.default_rng(0)
     f, h, w = 5, 256, 512
+    # omega must be a valid inverse covariance (PSD: oxy^2 < oxx*oyy) —
+    # an indefinite quadratic makes exp() blow up to ~1e8 and turns ULP
+    # noise into scary-looking absolute diffs
+    oxx = 0.5 + rng.random((h, w)).astype(np.float32)
+    oyy = 0.5 + rng.random((h, w)).astype(np.float32)
+    oxy = (0.8 * np.sqrt(oxx * oyy) * (rng.random((h, w)) - 0.5) * 2.0).astype(
+        np.float32
+    )
     x = dict(
         warped=jnp.asarray(rng.random((f, h, w, 3)), jnp.float32),
         residual=jnp.asarray(rng.random((f, h, w, 2)) - 0.5, jnp.float32),
         certainty=jnp.asarray(rng.random((f, h, w, 3)), jnp.float32),
-        omega=jnp.asarray(0.5 + rng.random((h, w, 3)), jnp.float32),
+        omega=jnp.asarray(np.stack([oxx, oyy, oxy], -1)),
     )
 
     def xla(v):

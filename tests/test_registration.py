@@ -107,6 +107,86 @@ def test_ssd_matches_naive(rng):
             np.testing.assert_allclose(got[:, :, u, v], expect, rtol=1e-4, atol=1e-4)
 
 
+def test_phase_correlate_dft_refine_subpixel(rng):
+    """Matrix-DFT local upsampling (_dft_refine_peak, the MXU finish of
+    the refinement the reference left at main.cpp:840-850) locates the
+    correlation peak to ~1/16 px. Use an exact CIRCULAR Fourier-domain
+    shift so the surface's true peak coincides with the ground-truth
+    shift (windowed open-boundary shifts bias the peak itself by
+    ~0.1 px, which is a property of the surface, not the refinement)."""
+    burst, _ = _burst(rng, n=1, h=128, w=128)
+    img = jnp.asarray(burst[0])
+
+    def circular_shift(im, dy, dx):
+        f = jnp.fft.fft2(im)
+        fy = jnp.fft.fftfreq(im.shape[0])[:, None]
+        fx = jnp.fft.fftfreq(im.shape[1])[None, :]
+        return jnp.real(
+            jnp.fft.ifft2(f * jnp.exp(-2j * jnp.pi * (fy * dy + fx * dx)))
+        )
+
+    for true in [(1.3, -2.6), (-0.45, 0.2), (3.75, 3.25)]:
+        moved = circular_shift(img, -true[0], -true[1])
+        dft, _ = jax.jit(
+            lambda a, b: phase_correlate(a, b, subpixel=True, refine=16)
+        )(img, moved)
+        err = np.abs(np.asarray(dft) - np.asarray(true)).max()
+        assert err < 0.07, (true, np.asarray(dft), err)
+
+
+def test_similarity_warp_fast_matches_remap(rng):
+    """The gatherless two-pass one-hot warp must track the gather remap
+    for similarity transforms across the supported envelope (rotations
+    to ~17 deg with small scale/translation)."""
+    import math
+
+    from multi_frame_super_resolution_tpu.ops.geometry import remap
+    from multi_frame_super_resolution_tpu.ops.warp_fast import (
+        similarity_warp_fast,
+    )
+    from multi_frame_super_resolution_tpu.ops.filters import gaussian_blur
+
+    img = np.asarray(
+        gaussian_blur(jnp.asarray(rng.random((96, 160)).astype(np.float32)), 1.0)
+    )
+    h, w = img.shape
+    ys, xs = np.meshgrid(
+        np.arange(h, dtype=np.float64), np.arange(w, dtype=np.float64),
+        indexing="ij",
+    )
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    for deg, s, (ty, tx) in [
+        (0.0, 1.0, (3.3, -7.7)),
+        (15.0, 1.02, (4.5, -2.5)),
+        (-12.0, 0.98, (-3.0, 8.0)),
+    ]:
+        th = math.radians(deg)
+        ca, sa = math.cos(th), math.sin(th)
+        yy = ys - ty - cy
+        xx = xs - tx - cx
+        src_y = ((sa * xx + ca * yy) * s + cy).astype(np.float32)
+        src_x = ((ca * xx - sa * yy) * s + cx).astype(np.float32)
+        ref = np.asarray(
+            remap(jnp.asarray(img), jnp.asarray(src_y), jnp.asarray(src_x), "bilinear")
+        )
+        fast = np.asarray(
+            jax.jit(similarity_warp_fast)(
+                jnp.asarray(img), jnp.asarray(src_y), jnp.asarray(src_x)
+            )
+        )
+        # compare where the source stays interior (border clamp semantics
+        # agree but two-pass vs 2-D bilinear differ most at the rim)
+        m = (src_y > 2) & (src_y < h - 3) & (src_x > 2) & (src_x < w - 3)
+        d = np.abs(ref - fast)[m]
+        if deg == 0.0:
+            assert d.max() < 1e-5, d.max()  # pure translation: exact
+        else:
+            # rotated: both are valid resamplings of the same continuous
+            # warp; they agree to interpolation tolerance
+            assert np.sqrt((d**2).mean()) < 0.02, np.sqrt((d**2).mean())
+            assert d.max() < 0.2, d.max()
+
+
 def test_ssd_surface_fft_matches_direct(rng):
     """The FFT correlation route (kernel.cu:484-501 equivalent) must
     reproduce the direct MXU contraction's surface bit-for-tolerance."""

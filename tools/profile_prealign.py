@@ -1,15 +1,15 @@
 """Profile the global pre-alignment sub-stages on TPU (amortized
-protocol from BENCH_NOTES.md). Run: python tools/profile_prealign.py"""
+protocol from BENCH_NOTES.md). Run with PYTHONPATH=/root/repo:/root/.axon_site."""
 
 from __future__ import annotations
 
 import sys
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 import numpy as np  # noqa: E402
 
-sys.path.insert(0, "/root/repo/tools")
 from profile_stages import amortized_ms  # noqa: E402
 
 
@@ -17,7 +17,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from multi_frame_super_resolution_tpu.config import RegistrationConfig
+    from multi_frame_super_resolution_tpu.config import PREALIGN_FAST
     from multi_frame_super_resolution_tpu.data import load_burst, mosaic_rggb
     from multi_frame_super_resolution_tpu.models.fast_merge import raw_to_planes
     from multi_frame_super_resolution_tpu.models.handheld import (
@@ -30,53 +30,51 @@ def main():
     )
     from multi_frame_super_resolution_tpu.registration.logpolar import (
         _spectral_magnitude,
-        log_polar_params,
         register_rotation_scale,
         register_similarity,
-        register_translation,
         to_log_polar,
     )
     from multi_frame_super_resolution_tpu.registration.phase_correlation import (
         phase_correlate,
     )
     from multi_frame_super_resolution_tpu.registration.prealign import (
+        _box_down,
         estimate_burst_similarity,
         prealign_planes,
     )
 
+    cfg = PREALIGN_FAST
     burst = load_burst("city")
     raw = np.stack([mosaic_rggb(f) for f in burst])
     planes = raw_to_planes(jnp.asarray(raw))
     cfa = ((0, 1), (1, 2))
     half = _subsample_from_planes(planes, cfa)
     gray = rgb_to_gray(half)  # (5, 128, 256)
-    f, hh, hw = gray.shape
-    cfg = RegistrationConfig()
+    small = _box_down(gray, 2)  # (5, 64, 128) — the estimation resolution
+    f, hh, hw = small.shape
 
     win = jnp.asarray(apodization_window(hh, hw, int(0.12 * hh)))
     hp = jnp.asarray(high_pass_filter(hh, hw))
-    mag = jax.jit(lambda g: _spectral_magnitude(g, win, hp))(gray[0])
-    lp0 = jax.jit(to_log_polar)(mag)
+    mag = jax.jit(lambda g: _spectral_magnitude(g, win, hp))(small[0])
+    lp0 = jax.jit(lambda m: to_log_polar(m, cfg.logpolar_interp))(mag)
 
-    print(f"log-polar size: {log_polar_params(hh, hw)[0]}")
-    t = amortized_ms(lambda x: _spectral_magnitude(x, win, hp), gray[1])
-    print(f"spectral magnitude (1 frame): {t:.2f} ms")
-    t = amortized_ms(to_log_polar, mag)
-    print(f"to_log_polar bicubic (1 img): {t:.2f} ms")
-    t = amortized_ms(lambda m: to_log_polar(m, "bilinear"), mag)
-    print(f"to_log_polar bilinear (1 img): {t:.2f} ms")
-    t = amortized_ms(lambda l: phase_correlate(lp0, l, cfg.eps, True), lp0 * 0.99)
-    print(f"phase_correlate logpolar ({lp0.shape}): {t:.2f} ms")
+    t = amortized_ms(lambda x: _spectral_magnitude(x, win, hp), small[1])
+    print(f"spectral magnitude (1 frame {hh}x{hw}): {t:.3f} ms")
+    t = amortized_ms(lambda m: to_log_polar(m, cfg.logpolar_interp), mag)
+    print(f"to_log_polar {cfg.logpolar_interp} ({lp0.shape}): {t:.3f} ms")
     t = amortized_ms(
-        lambda g: register_rotation_scale(gray[0], g, cfg), gray[1]
+        lambda l: phase_correlate(lp0, l, cfg.eps, True, refine=cfg.peak_upsample),
+        lp0 * 0.99,
     )
-    print(f"register_rotation_scale (1 frame): {t:.2f} ms")
-    t = amortized_ms(lambda g: register_similarity(gray[0], g, cfg), gray[1])
-    print(f"register_similarity (1 frame): {t:.2f} ms")
+    print(f"phase_correlate+dft16 ({lp0.shape}): {t:.3f} ms")
+    t = amortized_ms(lambda g: register_rotation_scale(small[0], g, cfg), small[1])
+    print(f"register_rotation_scale (1 frame): {t:.3f} ms")
+    t = amortized_ms(lambda g: register_similarity(small[0], g, cfg), small[1])
+    print(f"register_similarity (1 frame): {t:.3f} ms")
     t = amortized_ms(lambda g: estimate_burst_similarity(g, cfg), gray)
-    print(f"estimate_burst_similarity (4 alts): {t:.2f} ms")
+    print(f"estimate_burst_similarity (4 alts): {t:.3f} ms")
     t = amortized_ms(lambda p: prealign_planes(p, gray, cfg)[0], planes)
-    print(f"prealign_planes total: {t:.2f} ms")
+    print(f"prealign_planes total: {t:.3f} ms")
 
 
 if __name__ == "__main__":

@@ -212,7 +212,10 @@ class BTVConfig:
     optical_flow: str = "pyrlk"  # farneback | tvl1 | brox | pyrlk
     fast: bool = True            # gatherless decomposed warps (TPU path)
     warp_tile: int = 16          # tile size of the flow decomposition
-    warp_residual_bound: int = 2 # residual clamp of the decomposed warp
+    # residual clamp of the decomposed warp: 1 px halves the bounded-warp
+    # tap window (16 vs 36 taps) and measures slightly BETTER than 2 on
+    # the city burst (upsampled LR flows are tile-smooth)
+    warp_residual_bound: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

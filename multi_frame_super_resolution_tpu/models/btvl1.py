@@ -35,11 +35,49 @@ from multi_frame_super_resolution_tpu.registration.optical_flow import (
 )
 
 
-def _blur(img: jnp.ndarray, cfg: BTVConfig) -> jnp.ndarray:
+def _blur_taps(cfg: BTVConfig) -> np.ndarray:
     sigma = cfg.blur_sigma if cfg.blur_sigma > 0 else cfg.scale * 0.5
     size = 2 * int(np.ceil(2 * sigma)) + 1
-    k = jnp.asarray(gaussian_kernel_1d(sigma, size))
+    return gaussian_kernel_1d(sigma, size)
+
+
+def _blur(img: jnp.ndarray, cfg: BTVConfig) -> jnp.ndarray:
+    k = jnp.asarray(_blur_taps(cfg))
     return separable_filter(img, k, k)
+
+
+def _blur_decimate(img: jnp.ndarray, cfg: BTVConfig, s: int) -> jnp.ndarray:
+    """Fused H then D: blur + s-strided decimation computed ONLY at the
+    kept samples (matches _block_mean(_blur(img)) composed with the same
+    taps — here the decimation is the strided-mean so the box taps fold
+    into the Gaussian). Strided shift-sum: every tap is a strided slice
+    of the edge-padded image — 1/s^2 of the naive blur's work and no
+    full-res intermediate.
+
+    Equivalent (to fp tolerance) of _block_mean(_blur(img, cfg), s);
+    the equality is pinned in tests/test_btvl1.py."""
+    taps = _blur_taps(cfg)
+    r = len(taps) // 2
+    h, w = img.shape[0] // s * s, img.shape[1] // s * s
+    img = img[:h, :w]
+    # compose the Gaussian with the s-wide box of _block_mean
+    box = np.ones(s, np.float64) / s
+    k = np.convolve(np.asarray(taps, np.float64), box)
+    r2 = r  # combined taps span [ -r, r + s - 1 ] around the block start
+    pads = ((r2, r2 + s - 1), (r2, r2 + s - 1)) + ((0, 0),) * (img.ndim - 2)
+    xp = jnp.pad(img, pads, mode="edge")
+
+    def axis_pass(x, axis):
+        out = None
+        n = (h if axis == 0 else w) // s
+        for t, kt in enumerate(k):
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(t, t + (n - 1) * s + 1, s)
+            term = x[tuple(sl)] * float(kt)
+            out = term if out is None else out + term
+        return out
+
+    return axis_pass(axis_pass(xp, 0), 1)
 
 
 def _block_mean(x: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -120,6 +158,12 @@ def _btvl1_window(
     target — the vmappable core of btvl1_superres/btvl1_video."""
     gray = rgb_to_gray(frames) if frames.ndim == 4 else frames
     ref_gray = gray[cfg.temporal_radius]
+    n_window = frames.shape[0]
+    center = cfg.temporal_radius
+    # the center frame IS the target: its flow is identically zero, so
+    # its warp is the identity — estimate/apply flows only for the
+    # alternates (a third of the per-iteration warp volume for r=1)
+    alt_idx = [i for i in range(n_window) if i != center]
 
     if flows is None:
         if flow_cfg is None:
@@ -127,21 +171,23 @@ def _btvl1_window(
         flow_fn = create_optical_flow(flow_cfg)
         # flow_k: frame_k(x + flow_k(x)) ~= target(x), estimated at LR,
         # lifted to the HR grid
-        flows = jax.vmap(lambda g: flow_fn(ref_gray, g))(gray)
+        alt_flows = jax.vmap(lambda g: flow_fn(ref_gray, g))(gray[alt_idx, ...])
+    else:
+        alt_flows = flows[alt_idx, ...]
     h, w = ref_gray.shape
     sh, sw = h * cfg.scale, w * cfg.scale
     from multi_frame_super_resolution_tpu.ops.warp_fast import upsample_int
 
     hr_flows = jax.vmap(lambda fl: upsample_int(fl, cfg.scale, "bilinear") * cfg.scale)(
-        flows
+        alt_flows
     )
 
     x0 = upscale(frames[cfg.temporal_radius], cfg.scale, "bicubic")
 
-    # flows are constant across iterations; all window frames run as ONE
-    # batched computation per iteration (warp/blur/decimate vmapped over
-    # the window axis) instead of a sequential per-frame loop
-    n_window = frames.shape[0]
+    # flows are constant across iterations; all alternate frames run as
+    # ONE batched computation per iteration (warp/blur/decimate vmapped
+    # over the window axis) instead of a sequential per-frame loop
+    n_alts = len(alt_idx)
     if cfg.fast:
         from multi_frame_super_resolution_tpu.ops.warp_fast import (
             decompose_flow,
@@ -173,18 +219,24 @@ def _btvl1_window(
         warp_fwd = lambda xs, _w=warp_fwd: _w(xs, hr_flows)
         warp_inv = lambda xs, _w=warp_inv: _w(xs, hr_flows)
 
+    frames_alt = frames[alt_idx, ...]
+    frame_c = frames[center]
+
     def iteration(_, x):
-        xs = jnp.broadcast_to(x, (n_window,) + x.shape)
-        # warp HR estimate into each frame's geometry (backward warp by
-        # -flow), blur, decimate => simulated LR frames
-        sims = jax.vmap(lambda w: _block_mean(_blur(w, cfg), cfg.scale))(
+        xs = jnp.broadcast_to(x, (n_alts,) + x.shape)
+        # warp HR estimate into each alternate's geometry (backward warp
+        # by -flow), then fused blur+decimate => simulated LR frames
+        sims_alt = jax.vmap(lambda w: _blur_decimate(w, cfg, cfg.scale))(
             warp_fwd(xs)
         )
-        resid = jnp.sign(sims - frames)
-        ups = jax.vmap(
+        sim_c = _blur_decimate(x, cfg, cfg.scale)
+        resid_alt = jnp.sign(sims_alt - frames_alt)
+        resid_c = jnp.sign(sim_c - frame_c)
+        ups_alt = jax.vmap(
             lambda r: _blur(_block_mean_adjoint(r, cfg.scale), cfg)
-        )(resid)
-        data_grad = warp_inv(ups).sum(axis=0)
+        )(resid_alt)
+        up_c = _blur(_block_mean_adjoint(resid_c, cfg.scale), cfg)
+        data_grad = warp_inv(ups_alt).sum(axis=0) + up_c
         grad = data_grad + cfg.lam * _btv_gradient(x, cfg)
         # tau is the classical 8-bit-range step (OpenCV default 1.3); both
         # gradient terms are sign-valued, so rescale to [0,1] intensities

@@ -101,3 +101,23 @@ def test_btvl1_video_all_frames(rng):
     cfg = BTVConfig(scale=2, iterations=2)
     out = btvl1_video(jnp.asarray(burst), cfg)
     assert out.shape == (3, 48, 48)
+
+
+def test_blur_decimate_matches_composition(rng):
+    """_blur_decimate (fused strided D*H) must equal
+    _block_mean(_blur(x)) exactly (same taps, same clamped borders)."""
+    import jax.numpy as jnp
+
+    from multi_frame_super_resolution_tpu.config import BTVConfig
+    from multi_frame_super_resolution_tpu.models.btvl1 import (
+        _blur,
+        _blur_decimate,
+        _block_mean,
+    )
+
+    cfg = BTVConfig(scale=2)
+    for shape in [(64, 96), (64, 96, 3)]:
+        x = jnp.asarray(rng.random(shape), jnp.float32)
+        ref = _block_mean(_blur(x, cfg), 2)
+        got = _blur_decimate(x, cfg, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

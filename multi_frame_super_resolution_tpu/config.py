@@ -153,12 +153,18 @@ class RegistrationConfig:
     # ~1/factor cell accuracy — recovers the precision downsampling and
     # bilinear log-polar give up)
     peak_upsample: int = 0
+    # subsample the log-polar RADIAL axis by this step (same spectral
+    # span, coarser log-radius sampling): halves the gather volume of
+    # the log-polar remap at step 2; recovered scale rescales by the
+    # step, and the DFT peak refinement keeps sub-cell accuracy
+    lp_radius_step: int = 1
 
 
 # the similarity pre-alignment stage runs with the TPU-fast settings;
 # standalone registration keeps reference-parity defaults above
 PREALIGN_FAST = RegistrationConfig(
-    logpolar_interp="bilinear", fast_warp=True, downsample=2, peak_upsample=16
+    logpolar_interp="bilinear", fast_warp=True, downsample=2, peak_upsample=16,
+    lp_radius_step=2,
 )
 
 

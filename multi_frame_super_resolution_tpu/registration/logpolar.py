@@ -44,10 +44,15 @@ def log_polar_params(rows: int, cols: int) -> Tuple[int, float]:
     return size, log_base
 
 
-def log_polar_maps(rows: int, cols: int) -> Tuple[np.ndarray, np.ndarray]:
-    """(ymap, xmap) of shape (size, size): row i is angle -i*pi/(size-1),
-    column j is radius logBase^j, about the image center
-    (main.cpp:883-932).
+def log_polar_maps(
+    rows: int, cols: int, radius_step: int = 1
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(ymap, xmap) of shape (size, ceil(size/radius_step)): row i is
+    angle -i*pi/(size-1), column j is radius logBase^(j*radius_step),
+    about the image center (main.cpp:883-932). ``radius_step`` > 1
+    subsamples the radial (log-radius) axis — same spectral span,
+    coarser log sampling; the caller rescales recovered column shifts
+    by the step.
 
     Deviation from the reference maps: the radius is laid out in
     ISOTROPIC NORMALIZED frequency and converted to pixel coordinates
@@ -61,15 +66,19 @@ def log_polar_maps(rows: int, cols: int) -> Tuple[np.ndarray, np.ndarray]:
     # radius in ROW-pixel units (reference scale), stretched to column
     # pixels on the x axis so (fy, fx) = scales/rows * (sin, cos) is an
     # isotropic frequency circle
-    scales = np.power(log_base, np.arange(size, dtype=np.float64))
+    scales = np.power(
+        log_base, np.arange(0, size, radius_step, dtype=np.float64)
+    )
     angles = -np.arange(size, dtype=np.float64) * (np.pi / (size - 1))
     xmap = (scales[None, :] * (cols / rows)) * np.cos(angles)[:, None] + cols / 2.0
     ymap = scales[None, :] * np.sin(angles)[:, None] + rows / 2.0
     return ymap.astype(np.float32), xmap.astype(np.float32)
 
 
-def to_log_polar(img: jnp.ndarray, method: str = "bicubic") -> jnp.ndarray:
-    ymap, xmap = log_polar_maps(img.shape[0], img.shape[1])
+def to_log_polar(
+    img: jnp.ndarray, method: str = "bicubic", radius_step: int = 1
+) -> jnp.ndarray:
+    ymap, xmap = log_polar_maps(img.shape[0], img.shape[1], radius_step)
     return remap(img, jnp.asarray(ymap), jnp.asarray(xmap), method)
 
 
@@ -103,15 +112,16 @@ def register_rotation_scale(
     hp = jnp.asarray(high_pass_filter(rows, cols))
     m0 = _spectral_magnitude(im0, win, hp)
     m1 = _spectral_magnitude(im1, win, hp)
-    lp0 = to_log_polar(m0, cfg.logpolar_interp)
-    lp1 = to_log_polar(m1, cfg.logpolar_interp)
+    step = max(int(cfg.lp_radius_step), 1)
+    lp0 = to_log_polar(m0, cfg.logpolar_interp, step)
+    lp1 = to_log_polar(m1, cfg.logpolar_interp, step)
     (shift, peak) = phase_correlate(
         lp0, lp1, cfg.eps, cfg.subpixel, refine=cfg.peak_upsample
     )
     # row shift <-> rotation (angle step pi/(size-1), negative direction);
-    # col shift <-> log-radius <-> scale
+    # col shift <-> log-radius (radius_step log-base steps) <-> scale
     rotation = shift[0] * (jnp.pi / (size - 1))
-    scale = jnp.power(log_base, -shift[1])
+    scale = jnp.power(log_base, -shift[1] * step)
     return rotation, scale, peak
 
 

@@ -73,6 +73,13 @@ def estimate_burst_similarity(
     h, w = gray.shape[-2], gray.shape[-1]
     while ds > 1 and max(h // ds, w // ds) < 128:
         ds //= 2
+    if ds == 1 and cfg.lp_radius_step > 1:
+        # small images skipped downsampling for accuracy; they need the
+        # full radial resolution too (the car burst's ~0.2% scales are
+        # below a doubled log-radius cell's subpixel floor)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, lp_radius_step=1)
     if ds > 1:
         gray = _box_down(gray, ds)
     ref = gray[0]

@@ -83,13 +83,17 @@ def merge_burst_fast(
     radius: int = 2,
     residual_bound: float = 1.0,
     k_max: float = 1.0,
+    phase_output: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Merge tile-warped RGB frames onto the scale-x output grid.
 
     warped: (F, H, W, 3) frames already integer-tile-warped to reference
     geometry; residual: (F, H, W, 2) remaining subpixel flow (clamped to
     +-residual_bound); certainty: (F, H, W, 3); omega_inv: (H, W, 3).
-    Returns (num, den) at (sH, sW, 3).
+    Returns (num, den) at (sH, sW, 3), or in the PHASE domain
+    (s, s, H, W, 3) when ``phase_output`` — callers then finish all
+    pointwise math before one final interleave (the interleave is a
+    lane-crossing transpose, ~1.2 ms per array at city size on v5e).
     """
     f, h, w = warped.shape[:3]
     s = scale
@@ -147,6 +151,9 @@ def merge_burst_fast(
     (num, den), _ = jax.lax.scan(
         accumulate_frame, (num0, den0), (warped, residual, certainty)
     )
+
+    if phase_output:
+        return num, den
 
     # interleave phases: (s, s, H, W, 3) -> (sH, sW, 3)
     def interleave(acc):
@@ -214,6 +221,7 @@ def merge_burst_raw_planes(
     residual_bound: float = 1.0,
     k_max: float = 1.0,
     guide: jnp.ndarray | None = None,
+    phase_output: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """CFA-aware merge on half-resolution planes
     (accumulateImagesSuperRes equivalent, DeBayerKernels.cu:378-468).
@@ -300,42 +308,34 @@ def merge_burst_raw_planes(
 
     zero = jnp.zeros((hh, hw), jnp.float32)
 
-    def assemble(acc):
-        # (py, px, a, b, hh, hw, c) -> (hh, 2, py, hw, 2, px, c) ->
-        # (2*s*hh, 2*s*hw, 3): output row (2i+a)*s + py = i*2s + (a*s+py)
-        stacked = jnp.stack(
-            [
-                jnp.stack(
-                    [
-                        jnp.stack(
-                            [
-                                jnp.stack(
-                                    [
-                                        jnp.stack(
-                                            [c if c is not None else zero
-                                             for c in acc[py][px][a][b]],
-                                            axis=-1,
-                                        )
-                                        for b in (0, 1)
-                                    ],
-                                    0,
-                                )
-                                for a in (0, 1)
-                            ],
-                            0,
+    def stack_phases(acc):
+        # -> (2s, 2s, hh, hw, 3) with phase index (a*s + py, b*s + px):
+        # output row (2i+a)*s + py = (2s)*i + (a*s + py), so this is the
+        # standard phase layout of the TOTAL upsampling factor 2s
+        # (interleave_phases applies it)
+        rows = []
+        for a in (0, 1):
+            for py in range(s):
+                cols = []
+                for b in (0, 1):
+                    for px in range(s):
+                        cols.append(
+                            jnp.stack(
+                                [c if c is not None else zero
+                                 for c in acc[py][px][a][b]],
+                                axis=-1,
+                            )
                         )
-                        for px in range(s)
-                    ],
-                    0,
-                )
-                for py in range(s)
-            ],
-            0,
-        )  # (py, px, a, b, hh, hw, 3)
-        out = stacked.transpose(4, 2, 0, 5, 3, 1, 6)
-        return out.reshape(2 * s * hh, 2 * s * hw, 3)
+                rows.append(jnp.stack(cols, 0))
+        return jnp.stack(rows, 0)  # (2s, 2s, hh, hw, 3)
 
-    return assemble(acc_n), assemble(acc_d)
+    num_p, den_p = stack_phases(acc_n), stack_phases(acc_d)
+    if phase_output:
+        return num_p, den_p
+
+    from multi_frame_super_resolution_tpu.ops.warp_fast import interleave_phases
+
+    return interleave_phases(num_p), interleave_phases(den_p)
 
 
 def raw_to_planes(raw: jnp.ndarray) -> jnp.ndarray:

@@ -215,13 +215,25 @@ def _handheld_fast(burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
             warped, res_flow, cert, omega_inv, cfg.scale, cfg.merge.radius,
             cfg.residual_bound, k_max=cfg.merge.k_max,
         )
+        fallback = upsample_int(burst[0], cfg.scale, "bicubic")
+        out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
     else:
-        num, den = merge_burst_fast(
-            warped, res_flow, cert, omega_inv, cfg.scale, cfg.merge.radius,
-            cfg.residual_bound, k_max=cfg.merge.k_max,
+        # stay in the PHASE domain through the pointwise finalize and
+        # interleave ONCE — the interleave is a lane-crossing transpose
+        # (~1.2 ms per array at city size), so normalizing num/den
+        # before it rather than after saves a full transpose + copies
+        from multi_frame_super_resolution_tpu.ops.warp_fast import (
+            interleave_phases,
+            upsample_int_phases,
         )
-    fallback = upsample_int(burst[0], cfg.scale, "bicubic")
-    out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
+
+        num_p, den_p = merge_burst_fast(
+            warped, res_flow, cert, omega_inv, cfg.scale, cfg.merge.radius,
+            cfg.residual_bound, k_max=cfg.merge.k_max, phase_output=True,
+        )
+        fallback_p = upsample_int_phases(burst[0], cfg.scale, "bicubic")
+        out_p = apply_weighting(num_p, den_p, fallback_p, cfg.merge.weight_threshold)
+        out = interleave_phases(out_p)
     if cfg.gamma:
         out = srgb_gamma(out)
     return jnp.clip(out, 0.0, 1.0)
@@ -420,38 +432,48 @@ def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarr
     # fallback only shows through where den < weight_threshold (sparse,
     # border/extreme-motion pixels); the half-res RGB already computed for
     # alignment upsampled 2s-x is visually equivalent there and saves the
-    # full-res demosaic (~1 ms in-context on v5e)
-    fallback = upsample_int(half[0], 2 * cfg.scale, "bilinear")
+    # full-res demosaic (~1 ms in-context on v5e). All finalize math runs
+    # in the PHASE domain ((2s, 2s, hh, hw, 3) planes) with ONE
+    # interleave at the end — interleaving num and den separately cost a
+    # second lane-crossing transpose (~1.2 ms each at city size).
+    from multi_frame_super_resolution_tpu.ops.warp_fast import (
+        interleave_phases,
+        upsample_int_phases,
+    )
+
+    fallback_p = upsample_int_phases(half[0], 2 * cfg.scale, "bilinear")
     if cfg.merge.guided_rb:
         from multi_frame_super_resolution_tpu.models.fast_merge import (
             green_guide_planes,
         )
 
         guide = green_guide_planes(warped, cfg.cfa_pattern)
-        num, den = merge_burst_raw_planes(
+        num_p, den_p = merge_burst_raw_planes(
             warped, res_half * 2.0, cert_half, omega_half, omega_half_rb,
             cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
             residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
-            guide=guide,
+            guide=guide, phase_output=True,
         )
         # channels 0/2 hold merged R-G / B-G; their fallback is the
         # fallback image's own color difference
-        fb_g = fallback[..., 1]
+        fb_g = fallback_p[..., 1]
         fb = jnp.stack(
-            [fallback[..., 0] - fb_g, fb_g, fallback[..., 2] - fb_g], axis=-1
+            [fallback_p[..., 0] - fb_g, fb_g, fallback_p[..., 2] - fb_g],
+            axis=-1,
         )
-        merged = apply_weighting(num, den, fb, cfg.merge.weight_threshold)
+        merged = apply_weighting(num_p, den_p, fb, cfg.merge.weight_threshold)
         g = merged[..., 1]
-        out = jnp.stack(
+        out_p = jnp.stack(
             [g + merged[..., 0], g, g + merged[..., 2]], axis=-1
         )
     else:
-        num, den = merge_burst_raw_planes(
+        num_p, den_p = merge_burst_raw_planes(
             warped, res_half * 2.0, cert_half, omega_half, omega_half_rb,
             cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
             residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
+            phase_output=True,
         )
-        out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
+        out_p = apply_weighting(num_p, den_p, fallback_p, cfg.merge.weight_threshold)
     if cfg.gamma:
-        out = srgb_gamma(out)
-    return jnp.clip(out, 0.0, 1.0)
+        out_p = srgb_gamma(out_p)
+    return jnp.clip(interleave_phases(out_p), 0.0, 1.0)

@@ -98,6 +98,47 @@ def upsample_int(img: jnp.ndarray, s: int, method: str = "bilinear") -> jnp.ndar
     return axis_upsample(out, 1)
 
 
+def upsample_int_phases(
+    img: jnp.ndarray, s: int, method: str = "bilinear"
+) -> jnp.ndarray:
+    """Phase-domain integer-factor upsample: returns (s, s, H, W[, C])
+    where out[py, px, i, j] = upsample_int(img, s)[s*i + py, s*j + px].
+    Lets callers do all post-merge pointwise math at input resolution
+    and interleave phases ONCE at the very end (the interleave is a
+    lane-crossing transpose — the single most expensive op in the merge
+    pipeline when done per-array)."""
+    if s == 1:
+        return img[None, None]
+    taps, weights = _phase_taps_1d(s, method)
+    kk = taps.shape[1]
+
+    def axis_phases(x, axis):
+        outs = []
+        for p in range(s):
+            acc = None
+            for k in range(kk):
+                d = int(taps[p, k])
+                shifted = _shift2d(x, d if axis == 0 else 0, d if axis == 1 else 0)
+                term = shifted * weights[p, k]
+                acc = term if acc is None else acc + term
+            outs.append(acc)
+        return outs
+
+    rows = axis_phases(img, 0)  # list of s arrays (H, W[, C])
+    return jnp.stack(
+        [jnp.stack(axis_phases(r, 1), axis=0) for r in rows], axis=0
+    )  # (s, s, H, W[, C])
+
+
+def interleave_phases(p: jnp.ndarray) -> jnp.ndarray:
+    """(s, s, H, W[, C]) phase planes -> (s*H, s*W[, C])."""
+    s = p.shape[0]
+    h, w = p.shape[2], p.shape[3]
+    trailing = p.shape[4:]
+    perm = (2, 0, 3, 1) + tuple(range(4, p.ndim))
+    return p.transpose(perm).reshape((s * h, s * w) + trailing)
+
+
 def warp_bounded(img: jnp.ndarray, flow: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     """Bilinear backward warp out(x) = img(x + flow(x)) for flows bounded
     by r pixels (larger flows are clamped to [-r, r]).

@@ -115,3 +115,24 @@ def test_psnr_identity(rng):
     assert float(psnr(x, x)) > 100
     y = x + 0.1
     assert 19 < float(psnr(x, y)) < 21
+
+
+def test_upsample_int_phases_matches_interleaved(rng):
+    """Phase-domain upsample + interleave must equal upsample_int exactly
+    (the phase layout carries the whole finalize stage of the handheld
+    pipelines)."""
+    from multi_frame_super_resolution_tpu.ops.warp_fast import (
+        interleave_phases,
+        upsample_int,
+        upsample_int_phases,
+    )
+
+    for shape in [(16, 24), (16, 24, 3)]:
+        x = jnp.asarray(rng.random(shape).astype(np.float32))
+        for s in (2, 4):
+            for method in ("bilinear", "bicubic"):
+                ref = np.asarray(upsample_int(x, s, method))
+                got = np.asarray(
+                    interleave_phases(upsample_int_phases(x, s, method))
+                )
+                np.testing.assert_allclose(got, ref, atol=1e-6)

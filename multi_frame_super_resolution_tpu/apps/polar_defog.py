@@ -120,9 +120,14 @@ def main(argv=None) -> int:
         float(r1(iper * 0.998, ipar))
         t1 = time.perf_counter()
         float(rn(iper * 0.997, ipar))
+        # the subtraction cancels the dispatch floor AND one frame of
+        # compute, so the margin covers real_num - 1 frames
         elapsed = (time.perf_counter() - t1) - (t1 - t0)
-        print(f"{elapsed} sec (in-graph scan of {real_num} frames)")
-        print(f"{real_num / max(elapsed, 1e-9)} FPS")
+        if elapsed <= 0:
+            print("in-graph scan margin not measurable (tunnel jitter)")
+        else:
+            print(f"{elapsed} sec (in-graph scan, {real_num - 1} marginal frames)")
+            print(f"{(real_num - 1) / elapsed} FPS")
         r, a, t = fn(iper, ipar, jnp.float32(1.0))
     else:
         for i in range(warmup):

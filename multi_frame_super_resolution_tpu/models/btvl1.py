@@ -160,10 +160,18 @@ def _btvl1_window(
     ref_gray = gray[cfg.temporal_radius]
     n_window = frames.shape[0]
     center = cfg.temporal_radius
-    # the center frame IS the target: its flow is identically zero, so
-    # its warp is the identity — estimate/apply flows only for the
-    # alternates (a third of the per-iteration warp volume for r=1)
-    alt_idx = [i for i in range(n_window) if i != center]
+    # when WE estimate the flows, the center frame IS the target: its
+    # flow is identically zero, so its warp is the identity and it is
+    # never estimated (a third of the per-iteration warp volume at
+    # r=1). Caller-INJECTED flows (the custom-DenseOpticalFlowExt
+    # analog, multi_frame_sr.cpp:179) are honored verbatim for every
+    # window frame, center included.
+    identity_center = flows is None
+    alt_idx = (
+        [i for i in range(n_window) if i != center]
+        if identity_center
+        else list(range(n_window))
+    )
 
     if flows is None:
         if flow_cfg is None:
@@ -173,7 +181,7 @@ def _btvl1_window(
         # lifted to the HR grid
         alt_flows = jax.vmap(lambda g: flow_fn(ref_gray, g))(gray[alt_idx, ...])
     else:
-        alt_flows = flows[alt_idx, ...]
+        alt_flows = flows
     h, w = ref_gray.shape
     sh, sw = h * cfg.scale, w * cfg.scale
     from multi_frame_super_resolution_tpu.ops.warp_fast import upsample_int
@@ -229,14 +237,17 @@ def _btvl1_window(
         sims_alt = jax.vmap(lambda w: _blur_decimate(w, cfg, cfg.scale))(
             warp_fwd(xs)
         )
-        sim_c = _blur_decimate(x, cfg, cfg.scale)
         resid_alt = jnp.sign(sims_alt - frames_alt)
-        resid_c = jnp.sign(sim_c - frame_c)
         ups_alt = jax.vmap(
             lambda r: _blur(_block_mean_adjoint(r, cfg.scale), cfg)
         )(resid_alt)
-        up_c = _blur(_block_mean_adjoint(resid_c, cfg.scale), cfg)
-        data_grad = warp_inv(ups_alt).sum(axis=0) + up_c
+        data_grad = warp_inv(ups_alt).sum(axis=0)
+        if identity_center:
+            sim_c = _blur_decimate(x, cfg, cfg.scale)
+            resid_c = jnp.sign(sim_c - frame_c)
+            data_grad = data_grad + _blur(
+                _block_mean_adjoint(resid_c, cfg.scale), cfg
+            )
         grad = data_grad + cfg.lam * _btv_gradient(x, cfg)
         # tau is the classical 8-bit-range step (OpenCV default 1.3); both
         # gradient terms are sign-valued, so rescale to [0,1] intensities

@@ -147,7 +147,19 @@ def box_filter(img: jnp.ndarray, size: int, normalize: bool = True) -> jnp.ndarr
     both the conv and the banded-matmul lowerings for the wide windows
     the LK refinement uses (17x17). Borders replicate, matching
     separable_filter(ones) exactly: the cumsum runs on an edge-padded
-    array so clamped taps re-count the border sample."""
+    array so clamped taps re-count the border sample.
+
+    Small windows take a direct shift-sum instead: the full-axis f32
+    cumsum's cancellation error grows with the image extent (~1.4e-5 at
+    512 px) and would swamp tiny local variances (robustness_mask's 3x3
+    statistics of flat regions); k shifted adds are both exact-enough
+    and cheap when k is small."""
+    if size <= 7:
+        taps = np.ones((size,), np.float32)
+        out = separable_filter(img, jnp.asarray(taps), jnp.asarray(taps))
+        if normalize:
+            out = out / float(size * size)
+        return out
     r = size // 2
 
     def axis_sum(x, axis):

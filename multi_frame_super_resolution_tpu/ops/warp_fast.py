@@ -218,7 +218,7 @@ def _axis_linear_resample(
     src: jnp.ndarray,
     axis: int,
     bound: int,
-    residual_bound: int = 8,
+    residual_bound: int | None = None,
 ) -> jnp.ndarray:
     """1-D linear resample of (H, W[, C]) along ``axis`` at per-pixel
     ABSOLUTE source coordinates src (H, W): the other axis is indexed
@@ -232,7 +232,16 @@ def _axis_linear_resample(
     ~4.5 px for a 15-deg rotation at width 256 — ``residual_bound``
     covers it with a 2*rb+3 static window."""
     size = img.shape[axis]
-    rb = residual_bound
+    # the residual after per-line hoisting is the line's stretch term
+    # |d src/d axis - 1| * size/2, which GROWS with the axis length —
+    # default sized for a 20-deg rotation (stretch 1/cos20 - 1 ~ 0.064)
+    # at this image size (a fixed small clamp misplaces outer columns of
+    # wide images at rotations >= ~12 deg)
+    rb = (
+        residual_bound
+        if residual_bound is not None
+        else max(6, int(np.ceil(0.07 * size / 2.0)))
+    )
     pos = jax.lax.broadcasted_iota(jnp.float32, src.shape, axis)
     base = jnp.floor(src)
     frac = jnp.clip(src - base, 0.0, 1.0)

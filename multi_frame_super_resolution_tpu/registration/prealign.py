@@ -69,14 +69,16 @@ def estimate_burst_similarity(
     cells: below that the rotation/scale quantization visibly hurts
     (measured on the 130x228 car burst: ds=2 estimates cost ~1.9 dB on
     the RGB pipeline vs full-res estimates)."""
-    ds = max(int(cfg.downsample), 1)
+    ds_req = max(int(cfg.downsample), 1)
+    ds = ds_req
     h, w = gray.shape[-2], gray.shape[-1]
     while ds > 1 and max(h // ds, w // ds) < 128:
         ds //= 2
-    if ds == 1 and cfg.lp_radius_step > 1:
-        # small images skipped downsampling for accuracy; they need the
-        # full radial resolution too (the car burst's ~0.2% scales are
-        # below a doubled log-radius cell's subpixel floor)
+    if ds < ds_req and ds == 1 and cfg.lp_radius_step > 1:
+        # the image was too SMALL for the requested downsampling; such
+        # images need full radial resolution too (the car burst's ~0.2%
+        # scales are below a doubled log-radius cell's subpixel floor).
+        # An explicitly configured downsample=1 keeps its radius step.
         import dataclasses
 
         cfg = dataclasses.replace(cfg, lp_radius_step=1)

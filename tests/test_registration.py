@@ -138,53 +138,72 @@ def test_similarity_warp_fast_matches_remap(rng):
     """The gatherless two-pass one-hot warp must track the gather remap
     for similarity transforms across the supported envelope (rotations
     to ~17 deg with small scale/translation)."""
+    from multi_frame_super_resolution_tpu.ops.filters import gaussian_blur
+
+    img = np.asarray(
+        gaussian_blur(jnp.asarray(rng.random((96, 160)).astype(np.float32)), 1.0)
+    )
+    for deg, s, (ty, tx) in [
+        (0.0, 1.0, (3.3, -7.7)),
+        (15.0, 1.02, (4.5, -2.5)),
+        (-12.0, 0.98, (-3.0, 8.0)),
+    ]:
+        _check_similarity_warp(img, deg, s, ty, tx)
+
+
+def test_similarity_warp_fast_wide_image_15deg(rng):
+    """Wide images at 15 deg: the pass-1 stretch residual grows with the
+    axis length (~10 px at width 512), so the residual clamp must scale
+    with the image size — a fixed clamp of 8 misplaced the outer columns
+    by up to 0.25 intensity on exactly this case (city RGB prealign)."""
+    from multi_frame_super_resolution_tpu.ops.filters import gaussian_blur
+
+    img = np.asarray(
+        gaussian_blur(jnp.asarray(rng.random((256, 512)).astype(np.float32)), 1.0)
+    )
+    _check_similarity_warp(img, 15.0, 1.0, 2.0, -3.0)
+    _check_similarity_warp(img, -15.0, 1.01, 0.0, 0.0)
+
+
+def _check_similarity_warp(img, deg, s, ty, tx):
     import math
 
     from multi_frame_super_resolution_tpu.ops.geometry import remap
     from multi_frame_super_resolution_tpu.ops.warp_fast import (
         similarity_warp_fast,
     )
-    from multi_frame_super_resolution_tpu.ops.filters import gaussian_blur
 
-    img = np.asarray(
-        gaussian_blur(jnp.asarray(rng.random((96, 160)).astype(np.float32)), 1.0)
-    )
     h, w = img.shape
     ys, xs = np.meshgrid(
         np.arange(h, dtype=np.float64), np.arange(w, dtype=np.float64),
         indexing="ij",
     )
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    for deg, s, (ty, tx) in [
-        (0.0, 1.0, (3.3, -7.7)),
-        (15.0, 1.02, (4.5, -2.5)),
-        (-12.0, 0.98, (-3.0, 8.0)),
-    ]:
-        th = math.radians(deg)
-        ca, sa = math.cos(th), math.sin(th)
-        yy = ys - ty - cy
-        xx = xs - tx - cx
-        src_y = ((sa * xx + ca * yy) * s + cy).astype(np.float32)
-        src_x = ((ca * xx - sa * yy) * s + cx).astype(np.float32)
-        ref = np.asarray(
-            remap(jnp.asarray(img), jnp.asarray(src_y), jnp.asarray(src_x), "bilinear")
+    th = math.radians(deg)
+    ca, sa = math.cos(th), math.sin(th)
+    yy = ys - ty - cy
+    xx = xs - tx - cx
+    src_y = ((sa * xx + ca * yy) * s + cy).astype(np.float32)
+    src_x = ((ca * xx - sa * yy) * s + cx).astype(np.float32)
+    ref = np.asarray(
+        remap(jnp.asarray(img), jnp.asarray(src_y), jnp.asarray(src_x), "bilinear")
+    )
+    fast = np.asarray(
+        jax.jit(similarity_warp_fast)(
+            jnp.asarray(img), jnp.asarray(src_y), jnp.asarray(src_x)
         )
-        fast = np.asarray(
-            jax.jit(similarity_warp_fast)(
-                jnp.asarray(img), jnp.asarray(src_y), jnp.asarray(src_x)
-            )
-        )
-        # compare where the source stays interior (border clamp semantics
-        # agree but two-pass vs 2-D bilinear differ most at the rim)
-        m = (src_y > 2) & (src_y < h - 3) & (src_x > 2) & (src_x < w - 3)
-        d = np.abs(ref - fast)[m]
-        if deg == 0.0:
-            assert d.max() < 1e-5, d.max()  # pure translation: exact
-        else:
-            # rotated: both are valid resamplings of the same continuous
-            # warp; they agree to interpolation tolerance
-            assert np.sqrt((d**2).mean()) < 0.02, np.sqrt((d**2).mean())
-            assert d.max() < 0.2, d.max()
+    )
+    # compare where the source stays interior (border clamp semantics
+    # agree but two-pass vs 2-D bilinear differ most at the rim)
+    m = (src_y > 2) & (src_y < h - 3) & (src_x > 2) & (src_x < w - 3)
+    d = np.abs(ref - fast)[m]
+    if deg == 0.0:
+        assert d.max() < 1e-5, d.max()  # pure translation: exact
+    else:
+        # rotated: both are valid resamplings of the same continuous
+        # warp; they agree to interpolation tolerance
+        assert np.sqrt((d**2).mean()) < 0.02, np.sqrt((d**2).mean())
+        assert d.max() < 0.2, d.max()
 
 
 def test_ssd_surface_fft_matches_direct(rng):

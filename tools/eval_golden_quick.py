@@ -1,7 +1,8 @@
 """Quick golden-metric eval across datasets/paths (see tests/test_golden.py).
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/eval_golden_quick.py"""
+import os
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 def main():

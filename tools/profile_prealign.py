@@ -3,10 +3,12 @@ protocol from BENCH_NOTES.md). Run with PYTHONPATH=/root/repo:/root/.axon_site."
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tools")
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_here))
+sys.path.insert(0, _here)
 
 import numpy as np  # noqa: E402
 
@@ -56,11 +58,15 @@ def main():
     win = jnp.asarray(apodization_window(hh, hw, int(0.12 * hh)))
     hp = jnp.asarray(high_pass_filter(hh, hw))
     mag = jax.jit(lambda g: _spectral_magnitude(g, win, hp))(small[0])
-    lp0 = jax.jit(lambda m: to_log_polar(m, cfg.logpolar_interp))(mag)
+    lp0 = jax.jit(
+        lambda m: to_log_polar(m, cfg.logpolar_interp, cfg.lp_radius_step)
+    )(mag)
 
     t = amortized_ms(lambda x: _spectral_magnitude(x, win, hp), small[1])
     print(f"spectral magnitude (1 frame {hh}x{hw}): {t:.3f} ms")
-    t = amortized_ms(lambda m: to_log_polar(m, cfg.logpolar_interp), mag)
+    t = amortized_ms(
+        lambda m: to_log_polar(m, cfg.logpolar_interp, cfg.lp_radius_step), mag
+    )
     print(f"to_log_polar {cfg.logpolar_interp} ({lp0.shape}): {t:.3f} ms")
     t = amortized_ms(
         lambda l: phase_correlate(lp0, l, cfg.eps, True, refine=cfg.peak_upsample),

@@ -158,13 +158,18 @@ class RegistrationConfig:
     # the log-polar remap at step 2; recovered scale rescales by the
     # step, and the DFT peak refinement keeps sub-cell accuracy
     lp_radius_step: int = 1
+    # compute the log-polar remap as two static dense matmuls (MXU)
+    # instead of a per-pixel gather — numerically identical weights; the
+    # gather form runs at ~9 cycles/element on TPU and dominated the
+    # round-2 pre-alignment estimator (~1 ms for a 128x64 map)
+    lp_matmul: bool = False
 
 
 # the similarity pre-alignment stage runs with the TPU-fast settings;
 # standalone registration keeps reference-parity defaults above
 PREALIGN_FAST = RegistrationConfig(
     logpolar_interp="bilinear", fast_warp=True, downsample=2, peak_upsample=16,
-    lp_radius_step=2,
+    lp_radius_step=2, lp_matmul=True,
 )
 
 

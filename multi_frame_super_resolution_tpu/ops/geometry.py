@@ -95,6 +95,64 @@ def remap(img, ys, xs, method: str = "bilinear"):
     raise ValueError(f"unknown method {method!r}")
 
 
+def static_sep_weights(coords, size: int, method: str = "bilinear"):
+    """STATIC (trace-time) 1-D interpolation weights as a dense matrix.
+
+    coords: numpy float array (N,) of absolute source coordinates along an
+    axis of length ``size``. Returns (N, size) float32 W such that
+    W @ v == [interp(v, c) for c in coords] with clamped (replicate)
+    borders — numerically identical to the corresponding remap() kernel.
+
+    Rationale (TPU): a remap with STATIC maps is a fixed linear operator;
+    separable interpolation factors it into two small dense matmuls that
+    run on the MXU instead of a per-pixel gather, which executes at ~9
+    cycles/element on the VPU (measured ~1 ms for even a 128x64 log-polar
+    remap — the dominant cost of the pre-alignment estimator in round 2).
+    """
+    import numpy as np
+
+    c = np.asarray(coords, np.float64).reshape(-1)
+    n = c.shape[0]
+    w = np.zeros((n, size), np.float64)
+    rows_idx = np.arange(n)
+    if method == "nearest":
+        idx = np.clip(np.round(c).astype(np.int64), 0, size - 1)
+        w[rows_idx, idx] = 1.0
+        return w.astype(np.float32)
+    c0 = np.floor(c).astype(np.int64)
+    f = c - c0
+    if method == "bilinear":
+        taps = [(0, 1.0 - f), (1, f)]
+    elif method == "bicubic":
+        a = -0.75
+
+        def k(x):
+            ax = np.abs(x)
+            w1 = ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0
+            w2 = ((a * ax - 5.0 * a) * ax + 8.0 * a) * ax - 4.0 * a
+            return np.where(ax <= 1.0, w1, np.where(ax < 2.0, w2, 0.0))
+
+        taps = [(-1, k(1.0 + f)), (0, k(f)), (1, k(1.0 - f)), (2, k(2.0 - f))]
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    for d, wt in taps:
+        idx = np.clip(c0 + d, 0, size - 1)
+        np.add.at(w, (rows_idx, idx), wt)
+    return w.astype(np.float32)
+
+
+def remap_static(img: jnp.ndarray, wy, wx, out_shape) -> jnp.ndarray:
+    """Apply a static remap given separable weight matrices from
+    static_sep_weights: wy (N, H), wx (N, W), N = prod(out_shape).
+    img: (..., H, W) -> (..., *out_shape). Two MXU contractions, zero
+    gathers; exact bilinear/bicubic per the weight construction."""
+    wy = jnp.asarray(wy)
+    wx = jnp.asarray(wx)
+    t = jnp.einsum("...hw,nw->...hn", img, wx)      # (..., H, N) matmul
+    out = jnp.sum(t * wy.T, axis=-2)                # (..., N)
+    return out.reshape(img.shape[:-2] + tuple(out_shape))
+
+
 def identity_grid(h: int, w: int, dtype=jnp.float32):
     """(ys, xs) pixel-center index grids of shape (h, w)."""
     ys = jax.lax.broadcasted_iota(dtype, (h, w), 0)

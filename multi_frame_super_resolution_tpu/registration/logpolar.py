@@ -75,10 +75,38 @@ def log_polar_maps(
     return ymap.astype(np.float32), xmap.astype(np.float32)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _log_polar_matmul_weights(rows: int, cols: int, radius_step: int, method: str):
+    """Cached separable weight matrices implementing the log-polar remap
+    as two dense matmuls (see ops.geometry.static_sep_weights — the
+    gather remap costs ~1 ms on TPU even at 128x64; the matmul form is
+    MXU work)."""
+    from multi_frame_super_resolution_tpu.ops.geometry import static_sep_weights
+
+    ymap, xmap = log_polar_maps(rows, cols, radius_step)
+    wy = static_sep_weights(ymap.reshape(-1), rows, method)
+    wx = static_sep_weights(xmap.reshape(-1), cols, method)
+    return wy, wx, ymap.shape
+
+
 def to_log_polar(
-    img: jnp.ndarray, method: str = "bicubic", radius_step: int = 1
+    img: jnp.ndarray,
+    method: str = "bicubic",
+    radius_step: int = 1,
+    matmul: bool = False,
 ) -> jnp.ndarray:
-    ymap, xmap = log_polar_maps(img.shape[0], img.shape[1], radius_step)
+    rows, cols = img.shape[-2], img.shape[-1]
+    if matmul:
+        from multi_frame_super_resolution_tpu.ops.geometry import remap_static
+
+        wy, wx, out_shape = _log_polar_matmul_weights(
+            rows, cols, int(radius_step), method
+        )
+        return remap_static(img, wy, wx, out_shape)
+    ymap, xmap = log_polar_maps(rows, cols, radius_step)
     return remap(img, jnp.asarray(ymap), jnp.asarray(xmap), method)
 
 
@@ -113,8 +141,8 @@ def register_rotation_scale(
     m0 = _spectral_magnitude(im0, win, hp)
     m1 = _spectral_magnitude(im1, win, hp)
     step = max(int(cfg.lp_radius_step), 1)
-    lp0 = to_log_polar(m0, cfg.logpolar_interp, step)
-    lp1 = to_log_polar(m1, cfg.logpolar_interp, step)
+    lp0 = to_log_polar(m0, cfg.logpolar_interp, step, cfg.lp_matmul)
+    lp1 = to_log_polar(m1, cfg.logpolar_interp, step, cfg.lp_matmul)
     (shift, peak) = phase_correlate(
         lp0, lp1, cfg.eps, cfg.subpixel, refine=cfg.peak_upsample
     )

@@ -96,8 +96,9 @@ def handheld_superres(
     flows = _burst_flows(gray, cfg)
     cert = _burst_certainty(burst, flows, cfg)
     if prevalid is not None:
+        # prevalid[0] is all ones, so frame 0 keeps _burst_certainty's
+        # convention (certainty 1.0) without a second override
         cert = cert * prevalid[..., None]
-        cert = cert.at[0].set(1.0)
 
     st = smoothed_structure_tensor(gray[0], cfg.st_window)
     omega_inv = kernel_params(st, cfg.merge)
@@ -278,8 +279,8 @@ def handheld_superres_raw(
     flows_half = _burst_flows(gray_half, cfg)
     cert = _burst_certainty(half, flows_half, cfg)
     if prevalid is not None:
+        # prevalid[0] is all ones; frame 0 stays at certainty 1.0
         cert = cert * prevalid[..., None]
-        cert = cert.at[0].set(1.0)
 
     st = smoothed_structure_tensor(gray_half[0], cfg.st_window)
     # half-res-unit gradients -> RAW-res grid (values are unit-sensitive

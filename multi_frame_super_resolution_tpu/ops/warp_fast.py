@@ -309,6 +309,15 @@ def _axis_onehot_direct(
     return jnp.sum(stack_ * oh, axis=0)
 
 
+def default_warp_bound(h: int, w: int) -> int:
+    """Default shift clamp of similarity_warp_fast: sized for ~20-deg
+    corner displacement plus ~24 px of global translation at this image
+    size. Shared with callers that must DETECT saturation (the clamp
+    corrupts content silently, so validity masks test |src - pos| against
+    this same bound — advisor finding r2)."""
+    return int(np.ceil(0.35 * float(np.hypot(h / 2.0, w / 2.0)))) + 24
+
+
 def similarity_warp_fast(
     img: jnp.ndarray,
     src_y: jnp.ndarray,
@@ -336,7 +345,7 @@ def similarity_warp_fast(
     """
     h, w = img.shape[0], img.shape[1]
     if bound is None:
-        bound = int(np.ceil(0.35 * float(np.hypot(h / 2.0, w / 2.0)))) + 24
+        bound = default_warp_bound(h, w)
     # affine coefficients from the grids (exact for affine fields)
     a_yy = src_y[1, 0] - src_y[0, 0]
     a_yx = src_y[0, 1] - src_y[0, 0]

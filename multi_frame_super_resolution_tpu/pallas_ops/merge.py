@@ -156,9 +156,10 @@ def merge_fast_pallas(
     phi = _output_phase_offsets(s)
 
     bh = block_rows
-    while h % bh or bh % 8:
+    while bh >= 8 and h % bh:
         bh //= 2
-    if bh < 8:  # rows not 8-divisible: fall back to the XLA formulation
+    if bh < 8 or h % bh or bh % 8:
+        # rows not 8-divisible: fall back to the XLA formulation
         from multi_frame_super_resolution_tpu.models.fast_merge import (
             merge_burst_fast,
         )

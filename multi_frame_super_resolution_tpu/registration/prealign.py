@@ -188,13 +188,37 @@ def prewarp_frame(
         warped = similarity_warp_fast(frame, src_y, src_x)
     else:
         warped = remap(frame, src_y, src_x, method)
+    valid = _source_valid(src_y, src_x, h, w, fast).astype(frame.dtype)
+    return warped, valid
+
+
+def _source_valid(
+    src_y: jnp.ndarray, src_x: jnp.ndarray, h: int, w: int, fast: bool
+) -> jnp.ndarray:
+    """In-bounds mask of backward-warp source coordinates; for the fast
+    (one-hot) warp also masks pixels whose relative shift exceeds the
+    warp's clamp bound — the clamp silently misplaces content, so
+    saturated pixels must not be marked valid (advisor finding r2)."""
     valid = (
         (src_y >= 0.0)
         & (src_y <= h - 1.0)
         & (src_x >= 0.0)
         & (src_x <= w - 1.0)
-    ).astype(frame.dtype)
-    return warped, valid
+    )
+    if fast:
+        from multi_frame_super_resolution_tpu.ops.warp_fast import (
+            default_warp_bound,
+        )
+
+        b = float(default_warp_bound(h, w))
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+        xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+        valid = (
+            valid
+            & (jnp.abs(src_y - ys) <= b)
+            & (jnp.abs(src_x - xs) <= b)
+        )
+    return valid
 
 
 def prealign_burst(
@@ -291,12 +315,9 @@ def prealign_planes(
     # validity is pure coordinate math (no resample needed)
     def valid_one(st_k, use_k):
         src_y, src_x = _source_grid(hh, hw, st_k)
-        valid = (
-            (src_y >= 0.0)
-            & (src_y <= hh - 1.0)
-            & (src_x >= 0.0)
-            & (src_x <= hw - 1.0)
-        ).astype(planes.dtype)
+        valid = _source_valid(src_y, src_x, hh, hw, cfg.fast_warp).astype(
+            planes.dtype
+        )
         keep = use_k.astype(planes.dtype)
         return valid * keep + (1.0 - keep)
 

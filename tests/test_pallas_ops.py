@@ -111,6 +111,34 @@ def test_merge_pallas_scale1_and_odd_blocks(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_merge_pallas_non8_divisible_rows_falls_back(rng):
+    """H with no divisor that is a multiple of 8 (e.g. 20) must take the
+    XLA fallback instead of raising (round-2 advisor finding: the
+    block-shrink loop divided bh to 0)."""
+    from multi_frame_super_resolution_tpu.models.fast_merge import merge_burst_fast
+    from multi_frame_super_resolution_tpu.pallas_ops.merge import merge_fast_pallas
+
+    f, h, w = 2, 20, 40
+    warped = rng.random((f, h, w, 3)).astype(np.float32)
+    residual = (rng.random((f, h, w, 2)) - 0.5).astype(np.float32)
+    certainty = rng.random((f, h, w, 3)).astype(np.float32)
+    omega = (0.5 + rng.random((h, w, 3))).astype(np.float32)
+    omega[..., 2] *= 0.1
+
+    num_o, den_o = merge_burst_fast(
+        jnp.asarray(warped), jnp.asarray(residual), jnp.asarray(certainty),
+        jnp.asarray(omega), scale=2,
+    )
+    num_p, den_p = merge_fast_pallas(
+        jnp.asarray(warped), jnp.asarray(residual), jnp.asarray(certainty),
+        jnp.asarray(omega), scale=2, block_rows=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(num_p), np.asarray(num_o),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(den_p), np.asarray(den_o),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_tile_gather_pallas_matches_search_windows(rng):
     from multi_frame_super_resolution_tpu.pallas_ops.tile_gather import (
         tile_gather_pallas,

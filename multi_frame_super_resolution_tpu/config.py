@@ -37,6 +37,12 @@ class AlignConfig:
 
     tile_size: int = 16          # alignment tile edge in pixels (per level)
     search_radius: int = 4       # maxShift: +/- search window per level
+    # search radius at the FINEST level only (None = search_radius). The
+    # finest level starts from the coarse level's upsampled prediction, so
+    # its residual is small; radius 2 cuts the SSD volume (2R+1)^2 from
+    # 81 to 25 shifted copies on the hottest level. The reference's
+    # per-level maxShift grids are the same idea (kernel.cu:264-378).
+    fine_radius: int | None = None
     levels: int = 3              # pyramid levels (coarse-to-fine)
     downsample: int = 2          # pyramid decimation factor between levels
     # findMinimum peak-significance gate: if (min + threshold) > max over the

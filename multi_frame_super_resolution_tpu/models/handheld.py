@@ -74,22 +74,38 @@ def _burst_certainty(
 
 
 def handheld_superres(
-    burst: jnp.ndarray, cfg: HandheldConfig = HandheldConfig()
+    burst: jnp.ndarray,
+    cfg: HandheldConfig = HandheldConfig(),
+    prealign_override=None,
 ) -> jnp.ndarray:
     """RGB burst (F, H, W, 3) -> merged (scale*H, scale*W, 3).
 
     Dispatches to the gatherless fast path (cfg.fast, the TPU production
     path) or the gather-based oracle implementation (kept for parity
-    testing and arbitrary-flow research use)."""
+    testing and arbitrary-flow research use).
+
+    ``prealign_override``: optional (st, origin, global_hw) — a
+    pre-estimated global SimilarityTransform stack (leading axis F-1)
+    applied about the GLOBAL image center instead of estimating from this
+    (possibly shard-local) burst. Used by the row-sharded pipelines so
+    every shard applies the SAME global pre-alignment (the reference's
+    baseShift/baseRotation is a global model, kernel.cu:264-318)."""
     if cfg.fast:
-        return _handheld_fast(burst, cfg)
+        return _handheld_fast(burst, cfg, prealign_override)
     gray = rgb_to_gray(burst)
     if cfg.prealign:
         from multi_frame_super_resolution_tpu.registration.prealign import (
+            apply_burst_similarity,
             prealign_burst,
         )
 
-        burst, prevalid = prealign_burst(burst, gray, cfg.prealign_cfg)
+        if prealign_override is not None:
+            st, origin, global_hw = prealign_override
+            burst, prevalid = apply_burst_similarity(
+                burst, st, cfg.prealign_cfg, origin=origin, global_hw=global_hw
+            )
+        else:
+            burst, prevalid = prealign_burst(burst, gray, cfg.prealign_cfg)
         gray = rgb_to_gray(burst)
     else:
         prevalid = None
@@ -113,7 +129,9 @@ def handheld_superres(
     return jnp.clip(out, 0.0, 1.0)
 
 
-def _handheld_fast(burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
+def _handheld_fast(
+    burst: jnp.ndarray, cfg: HandheldConfig, prealign_override=None
+) -> jnp.ndarray:
     """Gatherless pipeline: tile-align -> integer tile warp -> bounded
     residual (optional LK) -> robustness on warped frames -> static-tap
     kernel-regression merge (models/fast_merge.py)."""
@@ -134,10 +152,17 @@ def _handheld_fast(burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
 
     if cfg.prealign:
         from multi_frame_super_resolution_tpu.registration.prealign import (
+            apply_burst_similarity,
             prealign_burst,
         )
 
-        burst, prevalid = prealign_burst(burst, gray, cfg.prealign_cfg)
+        if prealign_override is not None:
+            st, origin, global_hw = prealign_override
+            burst, prevalid = apply_burst_similarity(
+                burst, st, cfg.prealign_cfg, origin=origin, global_hw=global_hw
+            )
+        else:
+            burst, prevalid = prealign_burst(burst, gray, cfg.prealign_cfg)
         gray = rgb_to_gray(burst)
         # carry validity through the integer tile warp as a 4th channel
         burst = jnp.concatenate([burst, prevalid[..., None]], axis=-1)
@@ -241,7 +266,9 @@ def _handheld_fast(burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
 
 
 def handheld_superres_raw(
-    raw_burst: jnp.ndarray, cfg: HandheldConfig = HandheldConfig(gamma=True)
+    raw_burst: jnp.ndarray,
+    cfg: HandheldConfig = HandheldConfig(gamma=True),
+    prealign_override=None,
 ) -> jnp.ndarray:
     """Bayer RAW burst (F, H, W), values normalized to [0, 1] -> merged
     RGB (scale*H, scale*W, 3).
@@ -251,9 +278,12 @@ def handheld_superres_raw(
     merge accumulates full-resolution RAW samples into their own CFA
     channels. cfg.fast uses the gatherless path (even-integer tile warps
     preserve the CFA phase; static checkerboard channel masks).
+
+    ``prealign_override``: optional (st, origin, global_hw) in HALF-RES
+    units — see handheld_superres.
     """
     if cfg.fast:
-        return _handheld_raw_fast(raw_burst, cfg)
+        return _handheld_raw_fast(raw_burst, cfg, prealign_override)
     f, h, w = raw_burst.shape
     half = jax.vmap(lambda r: debayer_subsample(r, cfg.cfa_pattern))(raw_burst)
     gray_half = rgb_to_gray(half)
@@ -264,12 +294,20 @@ def handheld_superres_raw(
             raw_to_planes,
         )
         from multi_frame_super_resolution_tpu.registration.prealign import (
+            apply_planes_similarity,
             prealign_planes,
         )
 
-        planes, prevalid = prealign_planes(
-            raw_to_planes(raw_burst), gray_half, cfg.prealign_cfg
-        )
+        if prealign_override is not None:
+            st, origin, global_hw = prealign_override
+            planes, prevalid = apply_planes_similarity(
+                raw_to_planes(raw_burst), st, cfg.prealign_cfg,
+                origin=origin, global_hw=global_hw,
+            )
+        else:
+            planes, prevalid = prealign_planes(
+                raw_to_planes(raw_burst), gray_half, cfg.prealign_cfg
+            )
         raw_burst = planes_to_raw(planes)
         half = jax.vmap(lambda r: debayer_subsample(r, cfg.cfa_pattern))(raw_burst)
         gray_half = rgb_to_gray(half)
@@ -320,7 +358,9 @@ def _subsample_from_planes(planes: jnp.ndarray, cfa) -> jnp.ndarray:
     return jnp.stack(out, axis=-1)
 
 
-def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarray:
+def _handheld_raw_fast(
+    raw_burst: jnp.ndarray, cfg: HandheldConfig, prealign_override=None
+) -> jnp.ndarray:
     """Gatherless RAW pipeline in the CFA-PLANE domain: half-res alignment
     -> integer PLANE warps (even RAW shifts preserve the CFA phase, so the
     four half-res planes warp independently by the half-res integer shift)
@@ -354,10 +394,17 @@ def _handheld_raw_fast(raw_burst: jnp.ndarray, cfg: HandheldConfig) -> jnp.ndarr
 
     if cfg.prealign:
         from multi_frame_super_resolution_tpu.registration.prealign import (
+            apply_planes_similarity,
             prealign_planes,
         )
 
-        planes, prevalid = prealign_planes(planes, gray_half, cfg.prealign_cfg)
+        if prealign_override is not None:
+            st, origin, global_hw = prealign_override
+            planes, prevalid = apply_planes_similarity(
+                planes, st, cfg.prealign_cfg, origin=origin, global_hw=global_hw
+            )
+        else:
+            planes, prevalid = prealign_planes(planes, gray_half, cfg.prealign_cfg)
         half = _subsample_from_planes(planes, cfg.cfa_pattern)
         gray_half = rgb_to_gray(half)
     else:

@@ -106,12 +106,19 @@ def _exchange_halos_axis(x: jnp.ndarray, halo: int, mesh_axis: str, dim: int):
     return from_prev, from_next
 
 
-def pipeline_halo(cfg, warp_bound: int = 16) -> int:
+def pipeline_halo(cfg, warp_bound: int = 16, prealign_px: int = 0) -> int:
     """Row halo (in input pixels) for running the handheld SR pipeline on
     a row shard: covers the tile-warp clamp bound, the LK window + its
     bounded warp, the merge tap window, and the robustness 5x5 spread —
     rounded up to a whole number of alignment tiles so the shard's tile
-    grid coincides with the global grid."""
+    grid coincides with the global grid.
+
+    ``prealign_px``: extra rows for the GLOBAL pre-alignment warp's reach
+    when cfg.prealign is on under sharding — the rotation/scale about the
+    global center displaces a shard-edge pixel by up to
+    |theta| * max(H, W)/2 + |scale-1| * max(H, W)/2 + |translation| px;
+    budget that here (content beyond the halo is edge-replicated and the
+    affected rows are only correct to within the clamp)."""
     import numpy as np
 
     t = cfg.align.tile_size
@@ -120,6 +127,7 @@ def pipeline_halo(cfg, warp_bound: int = 16) -> int:
         + 2 * cfg.lk.half_window + 2
         + cfg.merge.radius + int(np.ceil(cfg.residual_bound))
         + 5
+        + int(prealign_px)
     )
     return t * int(np.ceil(reach / t))
 
@@ -155,6 +163,43 @@ def handheld_superres_sharded(
             f"tile_size {t}"
         )
     s = cfg.scale
+    h_local = h // n
+
+    if cfg.prealign:
+        # estimate the GLOBAL similarity ONCE from the (sharded) full
+        # luma — XLA inserts the gathers for the small downsampled FFTs —
+        # and pass the per-frame transforms into every shard, which
+        # applies them about the GLOBAL image center. Round 2 let each
+        # shard estimate its own similarity from its row strip; estimates
+        # could disagree across shards and each rotated about its local
+        # block center, seaming rotated bursts.
+        from multi_frame_super_resolution_tpu.ops.color import rgb_to_gray
+        from multi_frame_super_resolution_tpu.registration.prealign import (
+            estimate_burst_similarity,
+        )
+
+        st = estimate_burst_similarity(rgb_to_gray(burst), cfg.prealign_cfg)
+
+        def local(x, st_rep):  # (F, h_local, W, 3)
+            prev, nxt = _exchange_halos_axis(x, halo, axis, dim=1)
+            ext = jnp.concatenate([prev, x, nxt], axis=1)
+            y0 = (
+                lax.axis_index(axis).astype(jnp.float32) * h_local - halo
+            )
+            out = handheld_superres(
+                ext, cfg,
+                prealign_override=(st_rep, (y0, 0.0), (h, w)),
+            )
+            return out[halo * s : out.shape[0] - halo * s]
+
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, axis), P()),
+            out_specs=P(axis),
+            check_rep=False,
+        )
+        return fn(burst, st)
 
     def local(x):  # (F, h_local, W, 3)
         prev, nxt = _exchange_halos_axis(x, halo, axis, dim=1)
@@ -198,6 +243,47 @@ def handheld_superres_raw_sharded(
             f"of 2*tile_size = {t2}"
         )
     s = cfg.scale
+    h_local = h // n
+
+    if cfg.prealign:
+        # global similarity estimated ONCE on the full half-res luma (see
+        # handheld_superres_sharded); override units are HALF-RES
+        from multi_frame_super_resolution_tpu.models.fast_merge import (
+            raw_to_planes,
+        )
+        from multi_frame_super_resolution_tpu.models.handheld import (
+            _subsample_from_planes,
+        )
+        from multi_frame_super_resolution_tpu.ops.color import rgb_to_gray
+        from multi_frame_super_resolution_tpu.registration.prealign import (
+            estimate_burst_similarity,
+        )
+
+        gray_half = rgb_to_gray(
+            _subsample_from_planes(raw_to_planes(raw_burst), cfg.cfa_pattern)
+        )
+        st = estimate_burst_similarity(gray_half, cfg.prealign_cfg)
+
+        def local(x, st_rep):  # (F, h_local, W)
+            prev, nxt = _exchange_halos_axis(x, halo, axis, dim=1)
+            ext = jnp.concatenate([prev, x, nxt], axis=1)
+            y0_half = (
+                lax.axis_index(axis).astype(jnp.float32) * h_local - halo
+            ) / 2.0
+            out = handheld_superres_raw(
+                ext, cfg,
+                prealign_override=(st_rep, (y0_half, 0.0), (h // 2, w // 2)),
+            )
+            return out[halo * s : out.shape[0] - halo * s]
+
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, axis), P()),
+            out_specs=P(axis),
+            check_rep=False,
+        )
+        return fn(raw_burst, st)
 
     def local(x):  # (F, h_local, W)
         prev, nxt = _exchange_halos_axis(x, halo, axis, dim=1)

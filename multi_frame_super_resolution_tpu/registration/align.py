@@ -55,6 +55,11 @@ def align_frames(
 
     total = None
     for level in range(cfg.levels - 1, -1, -1):
+        radius = (
+            cfg.fine_radius
+            if (level == 0 and cfg.fine_radius is not None)
+            else cfg.search_radius
+        )
         r = ref_pyr[level]
         a = alt_pyr[level]
         nty, ntx = tile_counts(r.shape[0], r.shape[1], cfg.tile_size)
@@ -76,12 +81,12 @@ def align_frames(
             )
 
             windows = tile_gather_pallas(
-                a, rounded.astype(jnp.int32), cfg.tile_size, cfg.search_radius
+                a, rounded.astype(jnp.int32), cfg.tile_size, radius
             )
         elif (
             cfg.fast_extract
             and not cfg.use_fft
-            and 2 * cfg.search_radius <= cfg.tile_size
+            and 2 * radius <= cfg.tile_size
         ):
             # fully fused image-level path: tile-warp each frame by the
             # rounded prediction, then one multiply + tile-reduce for all
@@ -100,12 +105,12 @@ def align_frames(
             )(a, rounded)
             ssd = jax.vmap(
                 lambda wimg: ssd_surface_image(
-                    r, wimg, cfg.tile_size, cfg.search_radius
+                    r, wimg, cfg.tile_size, radius
                 )
             )(warped)
             found = jax.vmap(
                 lambda x: find_min_shift(
-                    x, cfg.search_radius, cfg.peak_threshold, cfg.subpixel
+                    x, radius, cfg.peak_threshold, cfg.subpixel
                 )
             )(ssd)
             total = rounded + found
@@ -113,7 +118,7 @@ def align_frames(
         else:
             windows = jax.vmap(
                 lambda img, pre: extract_search_windows(
-                    img, cfg.tile_size, cfg.search_radius, pre
+                    img, cfg.tile_size, radius, pre
                 )
             )(a, rounded)
         if cfg.use_fft:
@@ -124,10 +129,10 @@ def align_frames(
             ssd_fn = ssd_surface_fft
         else:
             ssd_fn = ssd_surface
-        ssd = jax.vmap(lambda w: ssd_fn(ref_tiles, w, cfg.search_radius))(windows)
+        ssd = jax.vmap(lambda w: ssd_fn(ref_tiles, w, radius))(windows)
         found = jax.vmap(
             lambda s: find_min_shift(
-                s, cfg.search_radius, cfg.peak_threshold, cfg.subpixel
+                s, radius, cfg.peak_threshold, cfg.subpixel
             )
         )(ssd)
         total = rounded + found

@@ -117,6 +117,8 @@ def _source_grid(
     w: int,
     st: SimilarityTransform,
     offset: Tuple[float, float] = (0.0, 0.0),
+    origin=None,
+    global_hw: Tuple[int, int] | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Backward-warp source coordinates G(y - d) reconstructing the
     reference frame from the moved frame: ref(y) ~= moved(G(y - d)),
@@ -126,20 +128,30 @@ def _source_grid(
 
     ``offset`` shifts the OUTPUT grid by a constant (sub)pixel amount —
     used for CFA planes whose sites sit at (+a/2, +b/2) in half-res
-    units."""
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    units.
+
+    ``origin``/``global_hw`` support SHARDED evaluation: the (h, w) block
+    is a window of a ``global_hw`` image whose [0, 0] sits at global
+    coordinates ``origin`` (may be traced, e.g. derived from
+    lax.axis_index inside shard_map). The similarity is evaluated about
+    the GLOBAL image center — the fix for round-2's sharding hole where
+    each shard rotated about its local block center — and the returned
+    source coordinates are LOCAL to the block."""
+    gh, gw = global_hw if global_hw is not None else (h, w)
+    oy, ox = (0.0, 0.0) if origin is None else origin
+    cy, cx = (gh - 1) / 2.0, (gw - 1) / 2.0
     ys = jnp.broadcast_to(
         jnp.arange(h, dtype=jnp.float32)[:, None] + offset[0], (h, w)
-    )
+    ) + oy
     xs = jnp.broadcast_to(
         jnp.arange(w, dtype=jnp.float32)[None, :] + offset[1], (h, w)
-    )
+    ) + ox
     yy = ys - st.translation[0] - cy
     xx = xs - st.translation[1] - cx
     ca = jnp.cos(st.rotation)
     sa = jnp.sin(st.rotation)
-    src_y = (sa * xx + ca * yy) * st.scale + cy - offset[0]
-    src_x = (ca * xx - sa * yy) * st.scale + cx - offset[1]
+    src_y = (sa * xx + ca * yy) * st.scale + cy - offset[0] - oy
+    src_x = (ca * xx - sa * yy) * st.scale + cx - offset[1] - ox
     # undo the output offset on the source side too: plane (a, b) of the
     # MOVED frame is also sampled at sites (+a/2, +b/2), so its array
     # indices are positions minus the offset
@@ -221,6 +233,46 @@ def _source_valid(
     return valid
 
 
+def apply_burst_similarity(
+    burst: jnp.ndarray,
+    st: SimilarityTransform,
+    cfg: RegistrationConfig = PREALIGN_FAST,
+    method: str = "bilinear",
+    origin=None,
+    global_hw: Tuple[int, int] | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Warp the alternates of ``burst`` (F, H, W[, C]) by per-alternate
+    similarities ``st`` (leading axis F-1). origin/global_hw: see
+    _source_grid — used by the row-sharded pipelines, which estimate st
+    ONCE globally and apply it per shard about the global center."""
+    h, w = burst.shape[1], burst.shape[2]
+    use = similarity_is_significant(st)
+
+    def one(frame, st_k, use_k):
+        src_y, src_x = _source_grid(h, w, st_k, origin=origin, global_hw=global_hw)
+        if cfg.fast_warp:
+            from multi_frame_super_resolution_tpu.ops.warp_fast import (
+                similarity_warp_fast,
+            )
+
+            warped = similarity_warp_fast(frame, src_y, src_x)
+        else:
+            warped = remap(frame, src_y, src_x, method)
+        valid = _source_valid(src_y, src_x, h, w, cfg.fast_warp).astype(
+            frame.dtype
+        )
+        keep = use_k.astype(frame.dtype)
+        sel = jnp.where(use_k, warped, frame)
+        return sel, valid * keep + (1.0 - keep)
+
+    warped, valid = jax.vmap(one)(burst[1:], st, use)
+    ones = jnp.ones(burst.shape[:3], burst.dtype)[:1]
+    return (
+        jnp.concatenate([burst[:1], warped], axis=0),
+        jnp.concatenate([ones, valid], axis=0),
+    )
+
+
 def prealign_burst(
     burst: jnp.ndarray,
     gray: jnp.ndarray,
@@ -234,18 +286,88 @@ def prealign_burst(
     (burst', valid (F, H, W)) — frame 0 and near-identity frames pass
     through with valid=1."""
     st = estimate_burst_similarity(gray, cfg, with_translation)
-    use = similarity_is_significant(st)
+    return apply_burst_similarity(burst, st, cfg, method)
 
-    def one(frame, st_k, use_k):
-        warped, valid = prewarp_frame(frame, st_k, method, fast=cfg.fast_warp)
-        keep = use_k.astype(gray.dtype)
-        sel = jnp.where(use_k, warped, frame)
-        return sel, valid * keep + (1.0 - keep)
 
-    warped, valid = jax.vmap(one)(burst[1:], st, use)
-    ones = jnp.ones_like(gray[:1])
+def apply_planes_similarity(
+    planes: jnp.ndarray,
+    st: SimilarityTransform,
+    cfg: RegistrationConfig = PREALIGN_FAST,
+    method: str = "bilinear",
+    origin=None,
+    global_hw: Tuple[int, int] | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Warp the alternates of a CFA-plane burst (F, 2, 2, hh, hw) by
+    per-alternate similarities ``st`` (leading axis F-1); each plane is
+    warped with its own (+a/2, +b/2) half-res site offset so chroma
+    stays registered. Returns (planes', valid (F, hh, hw)).
+    origin/global_hw are HALF-RES units (see _source_grid) for the
+    row-sharded RAW pipeline."""
+    use = similarity_is_significant(st, rot_eps=6e-3, scale_eps=6e-3)
+    fm1 = planes.shape[0] - 1
+    hh, hw = planes.shape[-2], planes.shape[-1]
+
+    if cfg.fast_warp:
+        from multi_frame_super_resolution_tpu.ops.warp_fast import (
+            similarity_warp_fast,
+        )
+
+        # ONE vmapped trace over all (alternate, plane) pairs: the source
+        # grids differ per plane only through the (+a/2, +b/2) site
+        # offsets, so they are built outside the warp and stacked
+        def grids(st_k):
+            g = [
+                jnp.stack(
+                    _source_grid(
+                        hh, hw, st_k, (a / 2.0, b / 2.0), origin, global_hw
+                    ),
+                    0,
+                )
+                for a in (0, 1)
+                for b in (0, 1)
+            ]
+            return jnp.stack(g, 0)  # (4, 2, hh, hw)
+
+        g = jax.vmap(grids)(st).reshape(fm1 * 4, 2, hh, hw)
+        flat = planes[1:].reshape(fm1 * 4, hh, hw)
+        warped = jax.vmap(
+            lambda im, gg: similarity_warp_fast(im, gg[0], gg[1])
+        )(flat, g).reshape(fm1, 2, 2, hh, hw)
+    else:
+
+        def one_slow(pl, st_k):
+            outs = []
+            for a in (0, 1):
+                row = []
+                for b in (0, 1):
+                    src_y, src_x = _source_grid(
+                        hh, hw, st_k, (a / 2.0, b / 2.0), origin, global_hw
+                    )
+                    row.append(remap(pl[a, b], src_y, src_x, method))
+                outs.append(jnp.stack(row, 0))
+            return jnp.stack(outs, 0)
+
+        warped = jax.vmap(one_slow)(planes[1:], st)
+
+    warped = jnp.where(use[:, None, None, None, None], warped, planes[1:])
+
+    # validity is pure coordinate math (no resample needed)
+    def valid_one(st_k, use_k):
+        src_y, src_x = _source_grid(
+            hh, hw, st_k, origin=origin, global_hw=global_hw
+        )
+        valid = _source_valid(src_y, src_x, hh, hw, cfg.fast_warp).astype(
+            planes.dtype
+        )
+        keep = use_k.astype(planes.dtype)
+        return valid * keep + (1.0 - keep)
+
+    valid = jax.vmap(valid_one)(st, use)
+    ones = jnp.ones(
+        (1, hh, hw), planes.dtype
+    )
     return (
-        jnp.concatenate([burst[:1], warped], axis=0),
+        jnp.concatenate([planes[:1], warped], axis=0),
         jnp.concatenate([ones, valid], axis=0),
     )
 
@@ -269,61 +391,4 @@ def prealign_planes(
     burst: warping its ~0.2%-scale frames costs 1.2 dB RAW while the
     same warps GAIN 2.6 dB on the RGB path."""
     st = estimate_burst_similarity(gray_half, cfg, with_translation)
-    use = similarity_is_significant(st, rot_eps=6e-3, scale_eps=6e-3)
-    fm1 = planes.shape[0] - 1
-    hh, hw = planes.shape[-2], planes.shape[-1]
-
-    if cfg.fast_warp:
-        from multi_frame_super_resolution_tpu.ops.warp_fast import (
-            similarity_warp_fast,
-        )
-
-        # ONE vmapped trace over all (alternate, plane) pairs: the source
-        # grids differ per plane only through the (+a/2, +b/2) site
-        # offsets, so they are built outside the warp and stacked
-        def grids(st_k):
-            g = [
-                jnp.stack(_source_grid(hh, hw, st_k, (a / 2.0, b / 2.0)), 0)
-                for a in (0, 1)
-                for b in (0, 1)
-            ]
-            return jnp.stack(g, 0)  # (4, 2, hh, hw)
-
-        g = jax.vmap(grids)(st).reshape(fm1 * 4, 2, hh, hw)
-        flat = planes[1:].reshape(fm1 * 4, hh, hw)
-        warped = jax.vmap(
-            lambda im, gg: similarity_warp_fast(im, gg[0], gg[1])
-        )(flat, g).reshape(fm1, 2, 2, hh, hw)
-    else:
-
-        def one_slow(pl, st_k):
-            outs = []
-            for a in (0, 1):
-                row = []
-                for b in (0, 1):
-                    wp, _ = prewarp_frame(
-                        pl[a, b], st_k, method, offset=(a / 2.0, b / 2.0)
-                    )
-                    row.append(wp)
-                outs.append(jnp.stack(row, 0))
-            return jnp.stack(outs, 0)
-
-        warped = jax.vmap(one_slow)(planes[1:], st)
-
-    warped = jnp.where(use[:, None, None, None, None], warped, planes[1:])
-
-    # validity is pure coordinate math (no resample needed)
-    def valid_one(st_k, use_k):
-        src_y, src_x = _source_grid(hh, hw, st_k)
-        valid = _source_valid(src_y, src_x, hh, hw, cfg.fast_warp).astype(
-            planes.dtype
-        )
-        keep = use_k.astype(planes.dtype)
-        return valid * keep + (1.0 - keep)
-
-    valid = jax.vmap(valid_one)(st, use)
-    ones = jnp.ones_like(gray_half[:1])
-    return (
-        jnp.concatenate([planes[:1], warped], axis=0),
-        jnp.concatenate([ones, valid], axis=0),
-    )
+    return apply_planes_similarity(planes, st, cfg, method)

@@ -77,10 +77,12 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     )
 
 
-def test_bundled_checkpoint_beats_bilinear(rng):
-    """The committed espcn_x2 checkpoint must outperform bilinear
-    upsampling on a held-out synthetic image (proves the weights are
-    trained, not random — main.cpp:569-591's pretrained surface)."""
+@pytest.mark.parametrize("algo", ["espcn", "fsrcnn", "lapsrn", "edsr"])
+def test_bundled_checkpoint_beats_bilinear(rng, algo):
+    """Every committed x2 checkpoint must outperform bilinear upsampling
+    on a held-out synthetic image (proves the weights are trained, not
+    random — the reference's surface is pretrained inference for all four
+    zoo algorithms, main.cpp:569-591)."""
     import os
 
     from multi_frame_super_resolution_tpu.data import synthetic_burst
@@ -93,11 +95,11 @@ def test_bundled_checkpoint_beats_bilinear(rng):
 
     path = os.path.join(
         os.path.dirname(__file__), "..", "multi_frame_super_resolution_tpu",
-        "data", "checkpoints", "espcn_x2.npz",
+        "data", "checkpoints", f"{algo}_x2.npz",
     )
     params, meta = load_params(path)
-    assert meta["algo"] == "espcn"
-    model = create_sr_model("espcn", scale=2)
+    assert meta["algo"] == algo
+    model = create_sr_model(algo, scale=2)
 
     g, _ = synthetic_burst(rng, num_frames=1, height=64, width=64, max_shift=0.0)
     hr = jnp.asarray(np.stack([g[0]] * 3, axis=-1))
@@ -106,7 +108,27 @@ def test_bundled_checkpoint_beats_bilinear(rng):
     base = jnp.clip(resize(lr, 64, 64, "bilinear"), 0, 1)
     p_model = float(psnr(hr, pred))
     p_base = float(psnr(hr, base))
-    assert p_model > p_base + 0.5, (p_model, p_base)
+    assert p_model > p_base + 0.5, (algo, p_model, p_base)
+
+
+@pytest.mark.parametrize("algo", ["espcn", "fsrcnn", "lapsrn", "edsr"])
+def test_bundled_checkpoint_cli_inference(tmp_path, rng, algo):
+    """CLI inference form runs against every bundled checkpoint."""
+    import os
+
+    from multi_frame_super_resolution_tpu.apps import dnn_sr as app
+    from multi_frame_super_resolution_tpu.data import imread, imwrite
+
+    ck = os.path.join(
+        os.path.dirname(__file__), "..", "multi_frame_super_resolution_tpu",
+        "data", "checkpoints", f"{algo}_x2.npz",
+    )
+    img = (rng.random((12, 16, 3)) * 255).astype(np.uint8)
+    inp = str(tmp_path / "in.png")
+    outp = str(tmp_path / "out.png")
+    imwrite(inp, img)
+    assert app.main([ck, algo, "2", inp, outp]) == 0
+    assert imread(outp).shape == (24, 32, 3)
 
 
 def test_dnn_sr_cli(tmp_path, rng):

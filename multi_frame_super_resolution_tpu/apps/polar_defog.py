@@ -12,8 +12,10 @@ Mirrors the reference app's surface and protocol
   * beta: polarization scale (1.55 for type 1, 10 for type 2)
 
 Runs 32 warmup + 256 timed frames fully on device (airlight top-k
-included — no CPU sort round trip), prints seconds and FPS, writes
-R_gpu.png.
+included — no CPU sort round trip), prints seconds and FPS for BOTH
+protocols — the reference's per-frame-dispatch wall clock (the headline;
+includes any per-call RPC floor of a remote backend) and, labeled, the
+marginal in-graph-scan device throughput — then writes R_gpu.png.
 """
 
 from __future__ import annotations
@@ -91,14 +93,28 @@ def main(argv=None) -> int:
     iper = jnp.asarray(iper_np)
     ipar = jnp.asarray(ipar_np)
 
-    import os
+    if not debug:
+        # HEADLINE: the reference protocol — 32 warmup + 256 individually
+        # dispatched timed frames (polar_defog.cpp:126-141,298-300). On a
+        # remote/tunnel backend each dispatch pays the RPC floor (~30 ms
+        # here), which is part of what this protocol measures.
+        for i in range(warmup):
+            r, a, t = fn(iper, ipar, jnp.float32(1.0 - 1e-7 * i))
+            float(jnp.sum(r))
+        t0 = time.perf_counter()
+        for i in range(real_num):
+            r, a, t = fn(iper, ipar, jnp.float32(1.0 + 1e-7 * i))
+            float(jnp.sum(r))
+        elapsed = time.perf_counter() - t0
+        print(f"{elapsed} sec ({real_num} frames, per-frame dispatch — reference protocol)")
+        print(f"{real_num / elapsed} FPS")
 
-    if os.environ.get("MFSR_DEFOG_SCAN", "") == "1" and not debug:
-        # device-side throughput: run the 256 timed frames as ONE
-        # lax.scan program, so the per-call RPC floor of a remote/tunnel
-        # backend (~30-37 ms here, BENCH_NOTES.md) doesn't masquerade as
-        # per-frame cost. The per-iteration scale perturbation keeps
-        # iterations from collapsing into one.
+        # SECONDARY (labeled, always reported): marginal device-side
+        # throughput — the 256 frames as ONE lax.scan program, dispatch
+        # floor cancelled by subtracting a 1-frame run. This is the
+        # number a batched/pipelined deployment sees, NOT the reference
+        # protocol. The per-iteration scale perturbation keeps iterations
+        # from collapsing into one.
         def scan_fps(n):
             @jax.jit
             def run(a, b):
@@ -122,24 +138,18 @@ def main(argv=None) -> int:
         float(rn(iper * 0.997, ipar))
         # the subtraction cancels the dispatch floor AND one frame of
         # compute, so the margin covers real_num - 1 frames
-        elapsed = (time.perf_counter() - t1) - (t1 - t0)
-        if elapsed <= 0:
+        scan_elapsed = (time.perf_counter() - t1) - (t1 - t0)
+        if scan_elapsed <= 0:
             print("in-graph scan margin not measurable (tunnel jitter)")
         else:
-            print(f"{elapsed} sec (in-graph scan, {real_num - 1} marginal frames)")
-            print(f"{(real_num - 1) / elapsed} FPS")
-        r, a, t = fn(iper, ipar, jnp.float32(1.0))
+            print(
+                f"{scan_elapsed} sec ({real_num - 1} marginal frames, "
+                f"in-graph scan — device-side throughput, not the "
+                f"reference protocol)"
+            )
+            print(f"{(real_num - 1) / scan_elapsed} FPS (marginal, in-graph)")
     else:
-        for i in range(warmup):
-            r, a, t = fn(iper, ipar, jnp.float32(1.0 - 1e-7 * i))
-            float(jnp.sum(r))
-        t0 = time.perf_counter()
-        for i in range(real_num):
-            r, a, t = fn(iper, ipar, jnp.float32(1.0 + 1e-7 * i))
-            float(jnp.sum(r))
-        elapsed = time.perf_counter() - t0
-        print(f"{elapsed} sec")
-        print(f"{real_num / elapsed} FPS")
+        r, a, t = fn(iper, ipar, jnp.float32(1.0))
 
     out = np.asarray(r)
     imwrite("R_gpu.png", out)

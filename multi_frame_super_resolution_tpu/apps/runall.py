@@ -47,7 +47,38 @@ def main(argv=None) -> int:
         for i in range(iters):
             float(fn(iper_j, ipar_j, jnp.float32(1.0 + i * 1e-6)))
         dt = time.perf_counter() - t0
-        print(f"polar_defog beta={beta}: {dt:.3f} sec, {iters / dt:.2f} FPS")
+        print(
+            f"polar_defog beta={beta}: {dt:.3f} sec, {iters / dt:.2f} FPS "
+            f"(per-frame dispatch)"
+        )
+
+        # also report the marginal in-graph throughput (labeled; the
+        # deployment-style number — see apps/polar_defog.py)
+        def scan_run(n):
+            @jax.jit
+            def run(a, b):
+                def body(c, _):
+                    out = polar_defog(a * (1.0 + c * 1e-7), b, cfg)
+                    return c + 1.0, jnp.sum(out)
+
+                _, outs = jax.lax.scan(body, 0.0, None, length=n)
+                return jnp.sum(outs)
+
+            return run
+
+        r1, rn = scan_run(1), scan_run(iters)
+        float(r1(iper_j, ipar_j))
+        float(rn(iper_j * 0.999, ipar_j))
+        t0 = time.perf_counter()
+        float(r1(iper_j * 0.998, ipar_j))
+        t1 = time.perf_counter()
+        float(rn(iper_j * 0.997, ipar_j))
+        dscan = (time.perf_counter() - t1) - (t1 - t0)
+        if dscan > 0:
+            print(
+                f"polar_defog beta={beta}: {dscan:.3f} sec, "
+                f"{(iters - 1) / dscan:.2f} FPS (marginal, in-graph scan)"
+            )
 
     for ds in datasets:
         burst = jnp.asarray(load_burst(ds))

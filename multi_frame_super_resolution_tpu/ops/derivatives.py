@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from multi_frame_super_resolution_tpu.ops.filters import conv2d
+from multi_frame_super_resolution_tpu.ops.filters import _filter_axis
 
 
 # correlation taps at offsets (-2, -1, 0, +1, +2): standard 5-point derivative
@@ -24,11 +24,13 @@ _D5 = np.asarray([1.0, -8.0, 0.0, 8.0, -1.0], np.float32) / 12.0
 
 
 def derivative5_x(img: jnp.ndarray) -> jnp.ndarray:
-    return conv2d(img, jnp.asarray(_D5.reshape(1, 5)), border="replicate")
+    # banded-matmul lowering: single-channel 5-tap convs lower poorly on
+    # TPU (lax.conv wants many channels for the MXU; ops.filters notes)
+    return _filter_axis(img, _D5, 1, "replicate")
 
 
 def derivative5_y(img: jnp.ndarray) -> jnp.ndarray:
-    return conv2d(img, jnp.asarray(_D5.reshape(5, 1)), border="replicate")
+    return _filter_axis(img, _D5, 0, "replicate")
 
 
 def derivatives(img: jnp.ndarray):

@@ -109,7 +109,13 @@ def _filter_axis(img: jnp.ndarray, taps, axis: int, border: str) -> jnp.ndarray:
     TPU note: depthwise grouped convs with few channels lower poorly
     (the MXU wants dense contractions), so for small static edge lengths
     the filter is applied as a banded-matrix matmul — one dense MXU
-    contraction with the border semantics baked into the band."""
+    contraction with the border semantics baked into the band.
+
+    Channel-minor (H, W, C<=8) inputs are transposed to channel-LEADING
+    for the contraction: a C-wide minor axis occupies 128 padded lanes on
+    TPU (measured 0.55 ms for a 3x3 box on a 128x256x3 structure tensor —
+    ~40x the plane-leading cost); adjacent inverse transposes of the two
+    separable passes cancel in XLA."""
     n = img.shape[axis]
     try:
         taps_np = np.asarray(taps, np.float32).reshape(-1)
@@ -118,9 +124,15 @@ def _filter_axis(img: jnp.ndarray, taps, axis: int, border: str) -> jnp.ndarray:
         return conv2d(img, kern, border)
     if n <= _BAND_MATMUL_MAX_DIM:
         b = jnp.asarray(_band_matrix(n, taps_np, border))
-        sub = "ij,jwc->iwc" if axis == 0 else "ij,hjc->hic"
         if img.ndim == 2:
             sub = "ij,jw->iw" if axis == 0 else "ij,hj->hi"
+            return jnp.einsum(sub, b, img, precision=lax.Precision.HIGHEST)
+        if img.ndim == 3 and img.shape[-1] <= 8:
+            x = jnp.moveaxis(img, -1, 0)  # (C, H, W): W on the lane dim
+            sub = "ij,cjw->ciw" if axis == 0 else "ij,chj->chi"
+            y = jnp.einsum(sub, b, x, precision=lax.Precision.HIGHEST)
+            return jnp.moveaxis(y, 0, -1)
+        sub = "ij,jwc->iwc" if axis == 0 else "ij,hjc->hic"
         return jnp.einsum(sub, b, img, precision=lax.Precision.HIGHEST)
     kern = taps_np.reshape(-1, 1) if axis == 0 else taps_np.reshape(1, -1)
     return conv2d(img, jnp.asarray(kern), border)
@@ -154,6 +166,12 @@ def box_filter(img: jnp.ndarray, size: int, normalize: bool = True) -> jnp.ndarr
     512 px) and would swamp tiny local variances (robustness_mask's 3x3
     statistics of flat regions); k shifted adds are both exact-enough
     and cheap when k is small."""
+    if img.ndim == 3 and img.shape[-1] <= 8:
+        # channel-minor layouts pad C up to 128 lanes on TPU; process
+        # channel-leading (see _filter_axis note)
+        return jnp.moveaxis(
+            box_filter_planes(jnp.moveaxis(img, -1, 0), size, normalize), 0, -1
+        )
     if size <= 7:
         taps = np.ones((size,), np.float32)
         out = separable_filter(img, jnp.asarray(taps), jnp.asarray(taps))
@@ -176,6 +194,39 @@ def box_filter(img: jnp.ndarray, size: int, normalize: bool = True) -> jnp.ndarr
     if normalize:
         out = out / float(size * size)
     return out
+
+
+def box_filter_planes(
+    x: jnp.ndarray, size: int, normalize: bool = True
+) -> jnp.ndarray:
+    """Box filter over the LAST TWO axes of (..., H, W) — the
+    channel/batch-LEADING layout TPU wants (W stays on the lane dim).
+    Same numerics as box_filter (banded matmul for small windows,
+    edge-padded sliding cumsum for wide ones)."""
+    h, w = x.shape[-2], x.shape[-1]
+    if size <= 7 and max(h, w) <= _BAND_MATMUL_MAX_DIM:
+        taps = np.ones((size,), np.float32)
+        bh = jnp.asarray(_band_matrix(h, taps, "replicate"))
+        bw = jnp.asarray(_band_matrix(w, taps, "replicate"))
+        y = jnp.einsum("ij,...jw->...iw", bh, x, precision=lax.Precision.HIGHEST)
+        y = jnp.einsum("ij,...hj->...hi", bw, y, precision=lax.Precision.HIGHEST)
+    else:
+        r = size // 2
+
+        def axis_sum(v, axis):
+            pads = [(0, 0)] * v.ndim
+            pads[axis] = (r + 1, r)
+            vp = jnp.pad(v, pads, mode="edge")
+            cs = jnp.cumsum(vp, axis=axis)
+            n = v.shape[axis]
+            lo = lax.slice_in_dim(cs, 0, n, axis=axis)
+            hi = lax.slice_in_dim(cs, size, size + n, axis=axis)
+            return hi - lo
+
+        y = axis_sum(axis_sum(x, x.ndim - 2), x.ndim - 1)
+    if normalize:
+        y = y / float(size * size)
+    return y
 
 
 def laplacian_sharpen(img: jnp.ndarray) -> jnp.ndarray:

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from multi_frame_super_resolution_tpu.config import FlowConfig, LKConfig
 from multi_frame_super_resolution_tpu.ops.derivatives import derivatives_pair
-from multi_frame_super_resolution_tpu.ops.filters import box_filter
+from multi_frame_super_resolution_tpu.ops.filters import box_filter_planes
 from multi_frame_super_resolution_tpu.ops.geometry import downsample2, resize, warp_backward
 
 
@@ -40,10 +40,12 @@ def lk_step(
         it = ref - warped
     win = 2 * cfg.half_window + 1
 
-    # one stacked depthwise box filter instead of five separate ones
-    prods = jnp.stack([ix * ix, ix * iy, iy * iy, ix * it, iy * it], axis=-1)
-    sums = box_filter(prods, win, normalize=False)
-    sxx, sxy, syy, sxt, syt = (sums[..., i] for i in range(5))
+    # one stacked box filter instead of five separate ones; products stay
+    # on a LEADING axis so H/W keep the sublane/lane dims (a trailing
+    # 5-wide axis would be padded to 128 lanes — see ops.filters notes)
+    prods = jnp.stack([ix * ix, ix * iy, iy * iy, ix * it, iy * it], axis=0)
+    sums = box_filter_planes(prods, win, normalize=False)
+    sxx, sxy, syy, sxt, syt = (sums[i] for i in range(5))
 
     # eigenvalues of the symmetric PSD normal matrix = its singular values
     tr = sxx + syy

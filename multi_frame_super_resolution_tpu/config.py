@@ -196,6 +196,14 @@ class HandheldConfig:
     gamma: bool = False          # sRGB-encode the output (RAW/linear input)
     fast: bool = True            # gatherless tile-warp + static-tap merge
     residual_bound: float = 1.0  # fast path: subpixel residual clamp (px)
+    # RGB fast path: run the tile-pyramid search on 2x-downsampled luma
+    # (the reference's own alignment resolution — deBayersSubSample3,
+    # DeBayerKernels.cu:243-283) and lift the shifts to full res; the
+    # full-res LK refinement then recovers the subpixel precision the
+    # coarse search grid gives up (its +-2 px bound covers half-res
+    # measurement error). ~4x less search volume. Requires even H, W
+    # (else the full-res search runs as before).
+    half_align: bool = True
     # alignment via the pairwise global-consistency solve (ShiftMinimizer
     # equivalent) instead of direct-to-reference measurements; ~2x the
     # alignment cost, more robust on low-texture frames

@@ -146,9 +146,15 @@ def _handheld_fast(
     )
     from multi_frame_super_resolution_tpu.registration.lucas_kanade import lk_refine
 
+    from multi_frame_super_resolution_tpu.ops.geometry import downsample2
+
     f, h, w = burst.shape[:3]
     t = cfg.align.tile_size
     gray = rgb_to_gray(burst)
+    # estimate motion on half-res luma (the reference's own alignment
+    # resolution, deBayersSubSample3) and lift to full res; merge still
+    # sees full-res samples
+    half = cfg.half_align and h % 2 == 0 and w % 2 == 0
 
     if cfg.prealign:
         from multi_frame_super_resolution_tpu.registration.prealign import (
@@ -167,18 +173,26 @@ def _handheld_fast(
         # carry validity through the integer tile warp as a 4th channel
         burst = jnp.concatenate([burst, prevalid[..., None]], axis=-1)
 
+    if half:
+        gray_est = jax.vmap(downsample2)(gray)
+        warp_t = 2 * t  # the half-res tile grid covers 2t full-res px
+    else:
+        gray_est = gray
+        warp_t = t
     tile_shifts = (
-        align_burst_consistent(gray, cfg.align)
+        align_burst_consistent(gray_est, cfg.align)
         if cfg.use_consistency
-        else align_burst(gray, cfg.align)
+        else align_burst(gray_est, cfg.align)
     )
+    if half:
+        tile_shifts = tile_shifts * 2.0  # half-res units -> full-res px
     int_shifts, res_tiles = tile_shift_decompose(tile_shifts)
 
     # integer tile warp into reference geometry; frames x channels go
     # through the Pallas DMA kernel as one stacked call when enabled and
     # tile-aligned, an XLA structured gather otherwise
     c = burst.shape[-1]
-    if cfg.align.use_pallas and h % t == 0 and w % t == 0:
+    if cfg.align.use_pallas and h % warp_t == 0 and w % warp_t == 0:
         from multi_frame_super_resolution_tpu.pallas_ops.tile_warp import (
             tile_warp_pallas,
         )
@@ -186,12 +200,12 @@ def _handheld_fast(
         stack = burst.transpose(0, 3, 1, 2).reshape(f * c, h, w)
         ints_rep = jnp.repeat(int_shifts, c, axis=0)
         warped = (
-            tile_warp_pallas(stack, ints_rep, t)
+            tile_warp_pallas(stack, ints_rep, warp_t)
             .reshape(f, c, h, w)
             .transpose(0, 2, 3, 1)
         )
     else:
-        warped = jax.vmap(lambda fr, ints: tile_warp_select(fr, ints, t))(
+        warped = jax.vmap(lambda fr, ints: tile_warp_select(fr, ints, warp_t))(
             burst, int_shifts
         )
     warped = warped.at[0].set(burst[0])
@@ -202,9 +216,11 @@ def _handheld_fast(
     else:
         valid_w = None
 
-    # residual subpixel flow, piecewise constant per tile
+    # residual subpixel flow, piecewise constant per tile (warp_t-sized
+    # tiles when aligning at half res — full-res LK below then recovers
+    # the subpixel precision the coarse estimation grid gives up)
     def lift(res):
-        return jnp.repeat(jnp.repeat(res, t, axis=0), t, axis=1)[:h, :w]
+        return jnp.repeat(jnp.repeat(res, warp_t, axis=0), warp_t, axis=1)[:h, :w]
 
     res_flow = jax.vmap(lift)(res_tiles)
 

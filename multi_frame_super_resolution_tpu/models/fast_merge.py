@@ -90,10 +90,11 @@ def merge_burst_fast(
     warped: (F, H, W, 3) frames already integer-tile-warped to reference
     geometry; residual: (F, H, W, 2) remaining subpixel flow (clamped to
     +-residual_bound); certainty: (F, H, W, 3); omega_inv: (H, W, 3).
-    Returns (num, den) at (sH, sW, 3), or in the PHASE domain
-    (s, s, H, W, 3) when ``phase_output`` — callers then finish all
-    pointwise math before one final interleave (the interleave is a
-    lane-crossing transpose, ~1.2 ms per array at city size on v5e).
+    Returns (num, den) at (sH, sW, 3), or in the CHANNEL-LEADING PHASE
+    domain (s, s, 3, H, W) when ``phase_output`` — callers then finish
+    all pointwise math before one final interleave (the interleave is a
+    lane-crossing transpose, ~1.2 ms per array at city size on v5e;
+    channel-leading because a 3-minor channel axis pads to 128 lanes).
     """
     f, h, w = warped.shape[:3]
     s = scale
@@ -112,9 +113,16 @@ def merge_burst_fast(
     oyy = omega_inv[..., 1]
     oxy = omega_inv[..., 2]
 
+    # CHANNEL-LEADING accumulation: all (H, W, 3) math would put the
+    # 3-wide channel axis on the TPU lane dimension (padded to 128 lanes,
+    # ~42x wasted VPU slots); frames/channels ride leading axes instead
+    # and the phase stack transposes back to channel-minor ONCE at the end
+    warped_c = jnp.moveaxis(warped, -1, 1)  # (F, 3, H, W)
+    cert_c = jnp.moveaxis(certainty, -1, 1)
+
     def accumulate_frame(carry, frame_data):
-        num, den = carry  # (s, s, H, W, 3) phase accumulators
-        img, res, cert = frame_data
+        num, den = carry  # (s, s, 3, H, W) phase accumulators
+        img, res, cert = frame_data  # (3, H, W), (H, W, 2), (3, H, W)
         res_y = jnp.clip(res[..., 0], -residual_bound, residual_bound)
         res_x = jnp.clip(res[..., 1], -residual_bound, residual_bound)
         # per-phase local accumulators keep the whole tap sum inside one
@@ -122,8 +130,8 @@ def merge_burst_fast(
         acc_n = [[None] * s for _ in range(s)]
         acc_d = [[None] * s for _ in range(s)]
         for ky, kx in taps:
-            val = _shift2d(img, ky, kx)
-            cert_k = _shift2d(cert, ky, kx)
+            val = _shift_last2(img, ky, kx)
+            cert_k = _shift_last2(cert, ky, kx)
             dy0 = (ky - res_y) * s
             dx0 = (kx - res_x) * s
             for py in range(s):
@@ -134,7 +142,7 @@ def merge_burst_fast(
                         -0.5
                         * (dx * dx * oxx + dy * dy * oyy + 2.0 * dx * dy * oxy)
                     )
-                    cw = wgt[..., None] * cert_k
+                    cw = wgt[None] * cert_k
                     nterm = val * cw
                     if acc_n[py][px] is None:
                         acc_n[py][px] = nterm
@@ -146,18 +154,21 @@ def merge_burst_fast(
         frame_d = jnp.stack([jnp.stack(r, 0) for r in acc_d], 0)
         return (num + frame_n, den + frame_d), None
 
-    num0 = jnp.zeros((s, s, h, w, 3), jnp.float32)
-    den0 = jnp.zeros((s, s, h, w, 3), jnp.float32)
+    num0 = jnp.zeros((s, s, 3, h, w), jnp.float32)
+    den0 = jnp.zeros((s, s, 3, h, w), jnp.float32)
     (num, den), _ = jax.lax.scan(
-        accumulate_frame, (num0, den0), (warped, residual, certainty)
+        accumulate_frame, (num0, den0), (warped_c, residual, cert_c)
     )
 
     if phase_output:
+        # CHANNEL-LEADING phases (s, s, 3, H, W): callers finish the
+        # pointwise finalize in this layout and interleave once
+        # (ops.warp_fast.interleave_phases_planes)
         return num, den
 
-    # interleave phases: (s, s, H, W, 3) -> (sH, sW, 3)
+    # interleave phases: (s, s, 3, H, W) -> (sH, sW, 3)
     def interleave(acc):
-        return acc.transpose(2, 0, 3, 1, 4).reshape(sh, sw, 3)
+        return acc.transpose(3, 0, 4, 1, 2).reshape(sh, sw, 3)
 
     return interleave(num), interleave(den)
 
@@ -309,10 +320,11 @@ def merge_burst_raw_planes(
     zero = jnp.zeros((hh, hw), jnp.float32)
 
     def stack_phases(acc):
-        # -> (2s, 2s, hh, hw, 3) with phase index (a*s + py, b*s + px):
-        # output row (2i+a)*s + py = (2s)*i + (a*s + py), so this is the
-        # standard phase layout of the TOTAL upsampling factor 2s
-        # (interleave_phases applies it)
+        # -> CHANNEL-LEADING (2s, 2s, 3, hh, hw) with phase index
+        # (a*s + py, b*s + px): output row (2i+a)*s + py = (2s)*i +
+        # (a*s + py), the standard phase layout of the TOTAL upsampling
+        # factor 2s (interleave_phases_planes applies it). Channels ride
+        # a leading axis — a 3-minor axis would pad to 128 TPU lanes.
         rows = []
         for a in (0, 1):
             for py in range(s):
@@ -323,19 +335,21 @@ def merge_burst_raw_planes(
                             jnp.stack(
                                 [c if c is not None else zero
                                  for c in acc[py][px][a][b]],
-                                axis=-1,
+                                axis=0,
                             )
                         )
                 rows.append(jnp.stack(cols, 0))
-        return jnp.stack(rows, 0)  # (2s, 2s, hh, hw, 3)
+        return jnp.stack(rows, 0)  # (2s, 2s, 3, hh, hw)
 
     num_p, den_p = stack_phases(acc_n), stack_phases(acc_d)
     if phase_output:
         return num_p, den_p
 
-    from multi_frame_super_resolution_tpu.ops.warp_fast import interleave_phases
+    from multi_frame_super_resolution_tpu.ops.warp_fast import (
+        interleave_phases_planes,
+    )
 
-    return interleave_phases(num_p), interleave_phases(den_p)
+    return interleave_phases_planes(num_p), interleave_phases_planes(den_p)
 
 
 def raw_to_planes(raw: jnp.ndarray) -> jnp.ndarray:

@@ -204,11 +204,20 @@ def _handheld_fast(
             .reshape(f, c, h, w)
             .transpose(0, 2, 3, 1)
         )
+        warped = warped.at[0].set(burst[0])
     else:
-        warped = jax.vmap(lambda fr, ints: tile_warp_select(fr, ints, warp_t))(
-            burst, int_shifts
+        # channel-LEADING plane stack: warping (H, W, C) directly puts C
+        # on the 128-padded lane dim (see prealign.apply_burst_similarity)
+        stack = burst[1:].transpose(0, 3, 1, 2).reshape((f - 1) * c, h, w)
+        ints_rep = jnp.repeat(int_shifts[1:], c, axis=0)
+        warped_alts = (
+            jax.vmap(lambda fr, ints: tile_warp_select(fr, ints, warp_t))(
+                stack, ints_rep
+            )
+            .reshape(f - 1, c, h, w)
+            .transpose(0, 2, 3, 1)
         )
-    warped = warped.at[0].set(burst[0])
+        warped = jnp.concatenate([burst[:1], warped_alts], axis=0)
     if cfg.prealign:
         valid_w = warped[..., 3]
         warped = warped[..., :3]
@@ -260,22 +269,23 @@ def _handheld_fast(
         fallback = upsample_int(burst[0], cfg.scale, "bicubic")
         out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
     else:
-        # stay in the PHASE domain through the pointwise finalize and
-        # interleave ONCE — the interleave is a lane-crossing transpose
-        # (~1.2 ms per array at city size), so normalizing num/den
-        # before it rather than after saves a full transpose + copies
+        # stay in the CHANNEL-LEADING PHASE domain through the pointwise
+        # finalize and interleave ONCE — the interleave is a
+        # lane-crossing transpose (~1.2 ms per array at city size), and
+        # channel-minor phase math would pad the 3-wide channel axis to
+        # 128 TPU lanes
         from multi_frame_super_resolution_tpu.ops.warp_fast import (
-            interleave_phases,
-            upsample_int_phases,
+            interleave_phases_planes,
+            upsample_int_phases_planes,
         )
 
         num_p, den_p = merge_burst_fast(
             warped, res_flow, cert, omega_inv, cfg.scale, cfg.merge.radius,
             cfg.residual_bound, k_max=cfg.merge.k_max, phase_output=True,
         )
-        fallback_p = upsample_int_phases(burst[0], cfg.scale, "bicubic")
+        fallback_p = upsample_int_phases_planes(burst[0], cfg.scale, "bicubic")
         out_p = apply_weighting(num_p, den_p, fallback_p, cfg.merge.weight_threshold)
-        out = interleave_phases(out_p)
+        out = interleave_phases_planes(out_p)
     if cfg.gamma:
         out = srgb_gamma(out)
     return jnp.clip(out, 0.0, 1.0)
@@ -497,15 +507,17 @@ def _handheld_raw_fast(
     # border/extreme-motion pixels); the half-res RGB already computed for
     # alignment upsampled 2s-x is visually equivalent there and saves the
     # full-res demosaic (~1 ms in-context on v5e). All finalize math runs
-    # in the PHASE domain ((2s, 2s, hh, hw, 3) planes) with ONE
-    # interleave at the end — interleaving num and den separately cost a
-    # second lane-crossing transpose (~1.2 ms each at city size).
+    # in the CHANNEL-LEADING PHASE domain ((2s, 2s, 3, hh, hw) planes)
+    # with ONE interleave at the end — interleaving num and den
+    # separately cost a second lane-crossing transpose (~1.2 ms each at
+    # city size), and channel-minor phase math would pad the 3-wide
+    # channel axis to 128 TPU lanes.
     from multi_frame_super_resolution_tpu.ops.warp_fast import (
-        interleave_phases,
-        upsample_int_phases,
+        interleave_phases_planes,
+        upsample_int_phases_planes,
     )
 
-    fallback_p = upsample_int_phases(half[0], 2 * cfg.scale, "bilinear")
+    fallback_p = upsample_int_phases_planes(half[0], 2 * cfg.scale, "bilinear")
     if cfg.merge.guided_rb:
         from multi_frame_super_resolution_tpu.models.fast_merge import (
             green_guide_planes,
@@ -519,16 +531,16 @@ def _handheld_raw_fast(
             guide=guide, phase_output=True,
         )
         # channels 0/2 hold merged R-G / B-G; their fallback is the
-        # fallback image's own color difference
-        fb_g = fallback_p[..., 1]
+        # fallback image's own color difference (channel axis = 2)
+        fb_g = fallback_p[:, :, 1]
         fb = jnp.stack(
-            [fallback_p[..., 0] - fb_g, fb_g, fallback_p[..., 2] - fb_g],
-            axis=-1,
+            [fallback_p[:, :, 0] - fb_g, fb_g, fallback_p[:, :, 2] - fb_g],
+            axis=2,
         )
         merged = apply_weighting(num_p, den_p, fb, cfg.merge.weight_threshold)
-        g = merged[..., 1]
+        g = merged[:, :, 1]
         out_p = jnp.stack(
-            [g + merged[..., 0], g, g + merged[..., 2]], axis=-1
+            [g + merged[:, :, 0], g, g + merged[:, :, 2]], axis=2
         )
     else:
         num_p, den_p = merge_burst_raw_planes(
@@ -540,4 +552,4 @@ def _handheld_raw_fast(
         out_p = apply_weighting(num_p, den_p, fallback_p, cfg.merge.weight_threshold)
     if cfg.gamma:
         out_p = srgb_gamma(out_p)
-    return jnp.clip(interleave_phases(out_p), 0.0, 1.0)
+    return jnp.clip(interleave_phases_planes(out_p), 0.0, 1.0)

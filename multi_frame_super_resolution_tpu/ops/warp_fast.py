@@ -139,6 +139,25 @@ def interleave_phases(p: jnp.ndarray) -> jnp.ndarray:
     return p.transpose(perm).reshape((s * h, s * w) + trailing)
 
 
+def upsample_int_phases_planes(
+    img: jnp.ndarray, s: int, method: str = "bilinear"
+) -> jnp.ndarray:
+    """Channel-LEADING phase-domain upsample: (H, W, C) ->
+    (s, s, C, H, W). The per-phase tap math runs on 2-D planes (a
+    channel-minor (H, W, C) operand puts C on the 128-padded TPU lane
+    dim — see ops.filters notes)."""
+    x = jnp.moveaxis(img, -1, 0)  # (C, H, W)
+    out = jax.vmap(lambda p: upsample_int_phases(p, s, method))(x)
+    return jnp.moveaxis(out, 0, 2)  # (s, s, C, H, W)
+
+
+def interleave_phases_planes(p: jnp.ndarray) -> jnp.ndarray:
+    """Channel-leading phase planes (s, s, C, H, W) -> (s*H, s*W, C)."""
+    s = p.shape[0]
+    c, h, w = p.shape[2], p.shape[3], p.shape[4]
+    return p.transpose(3, 0, 4, 1, 2).reshape(s * h, s * w, c)
+
+
 def warp_bounded(img: jnp.ndarray, flow: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     """Bilinear backward warp out(x) = img(x + flow(x)) for flows bounded
     by r pixels (larger flows are clamped to [-r, r]).

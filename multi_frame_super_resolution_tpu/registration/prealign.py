@@ -246,26 +246,58 @@ def apply_burst_similarity(
     _source_grid — used by the row-sharded pipelines, which estimate st
     ONCE globally and apply it per shard about the global center."""
     h, w = burst.shape[1], burst.shape[2]
+    fm1 = burst.shape[0] - 1
     use = similarity_is_significant(st)
 
-    def one(frame, st_k, use_k):
-        src_y, src_x = _source_grid(h, w, st_k, origin=origin, global_hw=global_hw)
-        if cfg.fast_warp:
-            from multi_frame_super_resolution_tpu.ops.warp_fast import (
-                similarity_warp_fast,
-            )
-
-            warped = similarity_warp_fast(frame, src_y, src_x)
-        else:
-            warped = remap(frame, src_y, src_x, method)
-        valid = _source_valid(src_y, src_x, h, w, cfg.fast_warp).astype(
-            frame.dtype
+    def grid_of(st_k):
+        return jnp.stack(
+            _source_grid(h, w, st_k, origin=origin, global_hw=global_hw), 0
         )
-        keep = use_k.astype(frame.dtype)
-        sel = jnp.where(use_k, warped, frame)
-        return sel, valid * keep + (1.0 - keep)
 
-    warped, valid = jax.vmap(one)(burst[1:], st, use)
+    grids = jax.vmap(grid_of)(st)  # (F-1, 2, H, W)
+
+    if cfg.fast_warp and burst.ndim == 4:
+        # warp CHANNEL-LEADING 2-D planes in one stacked vmap: a
+        # channel-minor (H, W, C) operand puts C on the TPU lane dim
+        # (padded to 128 lanes, ~C/128 utilization — measured 5.4 ms for
+        # this stage on the 5x256x512x3 city burst vs ~0.4 ms stacked)
+        from multi_frame_super_resolution_tpu.ops.warp_fast import (
+            similarity_warp_fast,
+        )
+
+        c = burst.shape[-1]
+        flat = burst[1:].transpose(0, 3, 1, 2).reshape(fm1 * c, h, w)
+        g_rep = jnp.repeat(grids, c, axis=0)
+        warped = (
+            jax.vmap(lambda im, gg: similarity_warp_fast(im, gg[0], gg[1]))(
+                flat, g_rep
+            )
+            .reshape(fm1, c, h, w)
+            .transpose(0, 2, 3, 1)
+        )
+    else:
+
+        def one(frame, gg):
+            if cfg.fast_warp:
+                from multi_frame_super_resolution_tpu.ops.warp_fast import (
+                    similarity_warp_fast,
+                )
+
+                return similarity_warp_fast(frame, gg[0], gg[1])
+            return remap(frame, gg[0], gg[1], method)
+
+        warped = jax.vmap(one)(burst[1:], grids)
+
+    def valid_of(gg, use_k):
+        valid = _source_valid(gg[0], gg[1], h, w, cfg.fast_warp).astype(
+            burst.dtype
+        )
+        keep = use_k.astype(burst.dtype)
+        return valid * keep + (1.0 - keep)
+
+    valid = jax.vmap(valid_of)(grids, use)
+    usex = use[:, None, None, None] if burst.ndim == 4 else use[:, None, None]
+    warped = jnp.where(usex, warped, burst[1:])
     ones = jnp.ones(burst.shape[:3], burst.dtype)[:1]
     return (
         jnp.concatenate([burst[:1], warped], axis=0),

@@ -36,10 +36,10 @@ def build_upto(cfg):
     from multi_frame_super_resolution_tpu.models.robustness import robustness_mask
     from multi_frame_super_resolution_tpu.ops.color import rgb_to_gray, srgb_gamma
     from multi_frame_super_resolution_tpu.ops.warp_fast import (
-        interleave_phases,
+        interleave_phases_planes,
         tile_shift_decompose,
         tile_warp_select,
-        upsample_int_phases,
+        upsample_int_phases_planes,
     )
     from multi_frame_super_resolution_tpu.registration.align import align_burst
     from multi_frame_super_resolution_tpu.registration.lucas_kanade import lk_refine
@@ -129,13 +129,13 @@ def build_upto(cfg):
             )
             if stage == "merge":
                 return num_p
-            fallback_p = upsample_int_phases(half[0], 2 * cfg.scale, "bilinear")
+            fallback_p = upsample_int_phases_planes(half[0], 2 * cfg.scale, "bilinear")
             out_p = apply_weighting(
                 num_p, den_p, fallback_p, cfg.merge.weight_threshold
             )
             if cfg.gamma:
                 out_p = srgb_gamma(out_p)
-            return jnp.clip(interleave_phases(out_p), 0.0, 1.0)
+            return jnp.clip(interleave_phases_planes(out_p), 0.0, 1.0)
 
         return fn
 

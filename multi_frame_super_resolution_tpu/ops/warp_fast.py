@@ -238,10 +238,12 @@ def _axis_linear_resample(
     axis: int,
     bound: int,
     residual_bound: int | None = None,
+    batch_dims: int = 0,
 ) -> jnp.ndarray:
-    """1-D linear resample of (H, W[, C]) along ``axis`` at per-pixel
-    ABSOLUTE source coordinates src (H, W): the other axis is indexed
-    identically. Borders replicate (coords clamped). Gatherless.
+    """1-D linear resample of (H, W) (plus ``batch_dims`` leading batch
+    axes) along image axis ``axis`` at per-pixel ABSOLUTE source
+    coordinates src (H, W): the other axis is indexed identically.
+    Borders replicate (coords clamped). Gatherless.
 
     The integer shift splits into a per-orthogonal-line mean (constant
     along the shifted axis, so the two-level one-hot composition is
@@ -249,8 +251,13 @@ def _axis_linear_resample(
     applied by a direct one-hot. For an affine map the residual is the
     line's stretch only: |res| <= |d src/d axis - 1| * size/2, e.g.
     ~4.5 px for a 15-deg rotation at width 256 — ``residual_bound``
-    covers it with a 2*rb+3 static window."""
-    size = img.shape[axis]
+    covers it with a 2*rb+3 static window.
+
+    ``batch_dims`` leading axes (e.g. RGB planes stacked channel-
+    LEADING) share one warp: the one-hot masks — a third of the inner-
+    loop volume — are computed once and broadcast across the batch."""
+    ax = batch_dims + axis
+    size = img.shape[ax]
     # the residual after per-line hoisting is the line's stretch term
     # |d src/d axis - 1| * size/2, which GROWS with the axis length —
     # default sized for a 20-deg rotation (stretch 1/cos20 - 1 ~ 0.064)
@@ -264,40 +271,69 @@ def _axis_linear_resample(
     pos = jax.lax.broadcasted_iota(jnp.float32, src.shape, axis)
     base = jnp.floor(src)
     frac = jnp.clip(src - base, 0.0, 1.0)
-    if img.ndim == 3:
-        frac = frac[..., None]
+    frac = frac.reshape(
+        (1,) * batch_dims
+        + frac.shape
+        + (1,) * (img.ndim - batch_dims - src.ndim)
+    )
     # per-line hoist from the UNCLAMPED map (for an affine map the line
     # mean is its center value, so the residual is the pure stretch
     # term). The hoisted pass runs on an rb-extended domain so the
     # residual pass below addresses true absolute positions even at the
     # array ends; absolute targets are clamped to the image (replicate),
-    # matching the gather remap's index clamp.
+    # matching the gather remap's index clamp. One extra entry on the
+    # high side serves the fused second tap (d+1 reads below).
     hoist_f = jnp.clip(
         jnp.round(jnp.mean(base - pos, axis=axis, keepdims=True)), -bound, bound
     )
     pads = [(0, 0)] * img.ndim
-    pads[axis] = (rb, rb)
+    pads[ax] = (rb, rb + 1)
     img_p = jnp.pad(img, pads, mode="edge")
     ext_shape = list(src.shape)
-    ext_shape[axis] += 2 * rb
+    ext_shape[axis] += 2 * rb + 1
     g_ext = _axis_onehot_shift(
         img_p,
         jnp.broadcast_to(hoist_f.astype(jnp.int32), tuple(ext_shape)),
         bound,
         axis,
+        batch_dims=batch_dims,
     )
 
-    def tap(k):
-        target = jnp.clip(base + k, 0.0, size - 1.0)
-        res = jnp.clip(target - pos - hoist_f, -rb, rb).astype(jnp.int32)
-        return _axis_onehot_direct(g_ext, res, rb, axis, prepadded=True)
+    # fused dual tap: both linear-interpolation taps share ONE one-hot
+    # mask stack (tap 1 reads the d+1 slice of the same extended pass);
+    # vs two independent _axis_onehot_direct calls this halves the mask
+    # compares and saves a pad+stack. Border semantics: the +1 read past
+    # the residual window lands on the edge-replicated pad, matching the
+    # gather remap's index clamp.
+    b = rb
+    res = jnp.clip(
+        jnp.clip(base, 0.0, size - 1.0) - pos - hoist_f, -b, b
+    ).astype(jnp.int32)
+    h_len = size
 
-    return tap(0) * (1.0 - frac) + tap(1) * frac
+    def take(x, start):
+        idx = (slice(None),) * ax + (slice(start, start + h_len),)
+        return x[idx]
+
+    dvals = jnp.arange(-b, b + 1)
+    oh = (res[None] == dvals.reshape((-1,) + (1,) * res.ndim)).astype(img.dtype)
+    oh = oh.reshape(
+        oh.shape[:1] + (1,) * batch_dims + oh.shape[1:]
+        + (1,) * (img.ndim - batch_dims - res.ndim)
+    )
+    tap0 = None
+    tap1 = None
+    for i, d in enumerate(range(-b, b + 1)):
+        w0 = oh[i] * take(g_ext, b + d)
+        w1 = oh[i] * take(g_ext, b + d + 1)
+        tap0 = w0 if tap0 is None else tap0 + w0
+        tap1 = w1 if tap1 is None else tap1 + w1
+    return tap0 * (1.0 - frac) + tap1 * frac
 
 
 def _axis_onehot_direct(
     img: jnp.ndarray, smap: jnp.ndarray, bound: int, axis: int,
-    prepadded: bool = False,
+    prepadded: bool = False, batch_dims: int = 0,
 ) -> jnp.ndarray:
     """Direct one-hot select shift along one axis (2*bound+1 static
     copies): out[p] = img[p + smap[p]] along ``axis``, edge-clamped.
@@ -305,26 +341,31 @@ def _axis_onehot_direct(
     two-level decomposition in _axis_onehot_shift, which is exact only
     for maps constant along the shifted axis). ``prepadded``: the input
     already carries ``bound`` extra entries on each end of ``axis``
-    (with meaningful content, not edge replicas)."""
+    (with meaningful content, not edge replicas). ``batch_dims`` leading
+    img axes share the shift map and one-hot masks."""
     b = bound
+    ax = batch_dims + axis
     smap = jnp.clip(smap, -b, b)
 
     def take(x, start, length):
-        idx = (slice(None),) * axis + (slice(start, start + length),)
+        idx = (slice(None),) * ax + (slice(start, start + length),)
         return x[idx]
 
     if prepadded:
         padded = img
-        h = img.shape[axis] - 2 * b
+        h = img.shape[ax] - 2 * b
     else:
-        h = img.shape[axis]
+        h = img.shape[ax]
         pads = [(0, 0)] * img.ndim
-        pads[axis] = (b, b)
+        pads[ax] = (b, b)
         padded = jnp.pad(img, pads, mode="edge")
     stack_ = jnp.stack([take(padded, b + d, h) for d in range(-b, b + 1)], 0)
     dvals = jnp.arange(-b, b + 1)
     oh = (smap[None] == dvals.reshape((-1,) + (1,) * smap.ndim)).astype(img.dtype)
-    oh = oh.reshape(oh.shape + (1,) * (img.ndim - smap.ndim))
+    oh = oh.reshape(
+        oh.shape[:1] + (1,) * batch_dims + oh.shape[1:]
+        + (1,) * (img.ndim - batch_dims - smap.ndim)
+    )
     return jnp.sum(stack_ * oh, axis=0)
 
 
@@ -342,6 +383,7 @@ def similarity_warp_fast(
     src_y: jnp.ndarray,
     src_x: jnp.ndarray,
     bound: int | None = None,
+    batch_dims: int = 0,
 ) -> jnp.ndarray:
     """Gatherless resample of ``img`` at AFFINE source-coordinate fields
     (H, W): out(p) ~= img(src(p)), via the Catmull-Smith two-pass
@@ -361,8 +403,13 @@ def similarity_warp_fast(
     Relative shifts are clamped to ``bound`` (default sized for ~20-deg
     corner displacement plus translation at this image size); beyond it
     the warp saturates and the caller's validity mask owns the result.
+
+    ``batch_dims`` leading img axes (e.g. RGB planes stacked channel-
+    leading, (C, H, W) with batch_dims=1) share the single (H, W) source
+    grid: the one-hot masks are computed once and broadcast, so C planes
+    cost barely more than one.
     """
-    h, w = img.shape[0], img.shape[1]
+    h, w = img.shape[batch_dims], img.shape[batch_dims + 1]
     if bound is None:
         bound = default_warp_bound(h, w)
     # affine coefficients from the grids (exact for affine fields)
@@ -378,18 +425,21 @@ def similarity_warp_fast(
     # u(y', x) = a_xy * (y' - a_yx*x - e_y)/a_yy + a_xx*x + e_x
     safe_a_yy = jnp.where(jnp.abs(a_yy) > 1e-6, a_yy, 1.0)
     u = a_xy * (ys - a_yx * xs - e_y) / safe_a_yy + a_xx * xs + e_x
-    tmp = _axis_linear_resample(img, u, axis=1, bound=bound)
+    tmp = _axis_linear_resample(img, u, axis=1, bound=bound, batch_dims=batch_dims)
     # pass 2 (y): out(y, x) = tmp(src_y(y, x), x)
     v = a_yy * ys + a_yx * xs + e_y
-    return _axis_linear_resample(tmp, v, axis=0, bound=bound)
+    return _axis_linear_resample(tmp, v, axis=0, bound=bound, batch_dims=batch_dims)
 
 
 def _axis_onehot_shift(
-    img: jnp.ndarray, smap: jnp.ndarray, bound: int, axis: int
+    img: jnp.ndarray, smap: jnp.ndarray, bound: int, axis: int,
+    batch_dims: int = 0,
 ) -> jnp.ndarray:
     """One-hot select warp along one axis: out[y] = img[clamp(y + smap[y])]
     with |smap| <= bound (clamped). smap is per-pixel (H, W) int32 but
-    piecewise-constant per tile in practice.
+    piecewise-constant per tile in practice. ``batch_dims`` leading img
+    axes (channel-leading planes) share the same shift map and one-hot
+    masks.
 
     For large bounds the shift is decomposed as s = c*q + r (c ~ sqrt of
     the window) and applied in two sequential one-hot passes — nq + c
@@ -399,21 +449,25 @@ def _axis_onehot_shift(
     offset crosses a tile boundary the coarse index of the neighboring
     row is used (same tile-crossing-band caveat as the direct form).
     """
-    h = img.shape[axis]
+    ax = batch_dims + axis
+    h = img.shape[ax]
     b = bound
     smap = jnp.clip(smap, -b, b)
 
     def take(x, start, length):
-        idx = (slice(None),) * axis + (slice(start, start + length),)
+        idx = (slice(None),) * ax + (slice(start, start + length),)
         return x[idx]
 
     def onehot_mul(stack_, sel, dvals):
         oh = (sel[None] == dvals.reshape((-1,) + (1,) * sel.ndim)).astype(img.dtype)
-        oh = oh.reshape(oh.shape + (1,) * (img.ndim - sel.ndim))
+        oh = oh.reshape(
+            oh.shape[:1] + (1,) * batch_dims + oh.shape[1:]
+            + (1,) * (img.ndim - batch_dims - sel.ndim)
+        )
         return jnp.sum(stack_ * oh, axis=0)
 
     if 2 * b + 1 <= 13:
-        return _axis_onehot_direct(img, smap, b, axis)
+        return _axis_onehot_direct(img, smap, b, axis, batch_dims=batch_dims)
 
     # two-level decomposition: s = c*q + r, r in [0, c)
     c = max(2, int(np.round(np.sqrt(2 * b + 1))))
@@ -424,7 +478,7 @@ def _axis_onehot_shift(
 
     # coarse pass on h + ext rows (edge-replicated shift map)
     pads = [(0, 0)] * img.ndim
-    pads[axis] = (b + c, b + ext)
+    pads[ax] = (b + c, b + ext)
     padded = jnp.pad(img, pads, mode="edge")
     take_last = (slice(None),) * axis + (slice(h - 1, h),)
     q_ext = jnp.concatenate(

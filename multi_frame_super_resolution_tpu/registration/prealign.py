@@ -265,16 +265,13 @@ def apply_burst_similarity(
             similarity_warp_fast,
         )
 
-        c = burst.shape[-1]
-        flat = burst[1:].transpose(0, 3, 1, 2).reshape(fm1 * c, h, w)
-        g_rep = jnp.repeat(grids, c, axis=0)
-        warped = (
-            jax.vmap(lambda im, gg: similarity_warp_fast(im, gg[0], gg[1]))(
-                flat, g_rep
-            )
-            .reshape(fm1, c, h, w)
-            .transpose(0, 2, 3, 1)
-        )
+        # channels ride as a leading batch INSIDE the warp (batch_dims=1)
+        # so the per-frame one-hot masks are built once and shared by the
+        # C planes instead of being recomputed per plane.
+        planes = burst[1:].transpose(0, 3, 1, 2)  # (F-1, C, H, W)
+        warped = jax.vmap(
+            lambda im, gg: similarity_warp_fast(im, gg[0], gg[1], batch_dims=1)
+        )(planes, grids).transpose(0, 2, 3, 1)
     else:
 
         def one(frame, gg):

@@ -80,6 +80,11 @@ class LKConfig:
     # flow into per-tile integer shifts (one-hot select warp) + a bounded
     # residual (warp_tile = tile size; residual clamp = max(bounded_warp, 2))
     warp_tile: int = 0
+    # window sums via bfloat16 banded matmuls on the MXU (f32
+    # accumulation; only input quantization at ~2^-8 relative) instead
+    # of the f32 sliding cumsum on the VPU — see ops.filters
+    # box_filter_planes(mxu_bf16=...)
+    bf16: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -133,6 +138,12 @@ class MergeConfig:
     # Interpret-parity is pinned in tests; the env's Mosaic compile is
     # re-probed each round (BENCH_NOTES.md) before flipping this on TPU.
     use_pallas: bool = False
+    # accumulate in bfloat16 (weights/products; the num/den outputs are
+    # converted back to f32 before normalization). The reference merges
+    # in f32 (DeBayerKernels.cu:289-376); bf16 halves the VPU/HBM
+    # traffic of the tap loop at ~2^-8 relative precision — quality
+    # impact is pinned by the golden floors (tests/test_golden.py).
+    bf16: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -84,6 +84,7 @@ def merge_burst_fast(
     residual_bound: float = 1.0,
     k_max: float = 1.0,
     phase_output: bool = False,
+    bf16: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Merge tile-warped RGB frames onto the scale-x output grid.
 
@@ -117,8 +118,11 @@ def merge_burst_fast(
     # 3-wide channel axis on the TPU lane dimension (padded to 128 lanes,
     # ~42x wasted VPU slots); frames/channels ride leading axes instead
     # and the phase stack transposes back to channel-minor ONCE at the end
-    warped_c = jnp.moveaxis(warped, -1, 1)  # (F, 3, H, W)
-    cert_c = jnp.moveaxis(certainty, -1, 1)
+    # bf16 (see merge_burst_raw_planes): weights evaluated in f32, tap
+    # products/accumulations in bfloat16, f32 carry across frames
+    acc_dt = jnp.bfloat16 if bf16 else jnp.float32
+    warped_c = jnp.moveaxis(warped, -1, 1).astype(acc_dt)  # (F, 3, H, W)
+    cert_c = jnp.moveaxis(certainty, -1, 1).astype(acc_dt)
 
     def accumulate_frame(carry, frame_data):
         num, den = carry  # (s, s, 3, H, W) phase accumulators
@@ -141,7 +145,7 @@ def merge_burst_fast(
                     wgt = jnp.exp(
                         -0.5
                         * (dx * dx * oxx + dy * dy * oyy + 2.0 * dx * dy * oxy)
-                    )
+                    ).astype(acc_dt)
                     cw = wgt[None] * cert_k
                     nterm = val * cw
                     if acc_n[py][px] is None:
@@ -152,7 +156,10 @@ def merge_burst_fast(
                         acc_d[py][px] = acc_d[py][px] + cw
         frame_n = jnp.stack([jnp.stack(r, 0) for r in acc_n], 0)
         frame_d = jnp.stack([jnp.stack(r, 0) for r in acc_d], 0)
-        return (num + frame_n, den + frame_d), None
+        return (
+            num + frame_n.astype(jnp.float32),
+            den + frame_d.astype(jnp.float32),
+        ), None
 
     num0 = jnp.zeros((s, s, 3, h, w), jnp.float32)
     den0 = jnp.zeros((s, s, 3, h, w), jnp.float32)
@@ -233,6 +240,7 @@ def merge_burst_raw_planes(
     k_max: float = 1.0,
     guide: jnp.ndarray | None = None,
     phase_output: bool = False,
+    bf16: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """CFA-aware merge on half-resolution planes
     (accumulateImagesSuperRes equivalent, DeBayerKernels.cu:378-468).
@@ -265,6 +273,17 @@ def merge_burst_raw_planes(
     phi = _output_phase_offsets(s)
     pat = np.asarray(cfa)
 
+    # bf16: the Gaussian weights are evaluated in f32 (the quadratic form
+    # spans several orders of magnitude before the exp) and the tap
+    # PRODUCTS/accumulations run in bfloat16; num/den convert back to f32
+    # at the end, ahead of the normalize division.
+    acc_dt = jnp.bfloat16 if bf16 else jnp.float32
+    if bf16:
+        planes = planes.astype(acc_dt)
+        certainty = certainty.astype(acc_dt)
+        if guide is not None:
+            guide = guide.astype(acc_dt)
+
     res_y = jnp.clip(residual[..., 0], -residual_bound, residual_bound)
     res_x = jnp.clip(residual[..., 1], -residual_bound, residual_bound)
 
@@ -276,7 +295,7 @@ def merge_burst_raw_planes(
                 + dy * dy * om[..., 1]
                 + 2.0 * dx * dy * om[..., 2]
             )
-        )
+        ).astype(acc_dt)
 
     # accumulators: [py][px][a][b][channel] -> (hh, hw) or None
     acc_n = [[[[[None] * 3 for _ in range(2)] for _ in range(2)]
@@ -317,7 +336,7 @@ def merge_burst_raw_planes(
                             acc_n[py][px][a][b][ch] += nterm
                             acc_d[py][px][a][b][ch] += cw
 
-    zero = jnp.zeros((hh, hw), jnp.float32)
+    zero = jnp.zeros((hh, hw), acc_dt)
 
     def stack_phases(acc):
         # -> CHANNEL-LEADING (2s, 2s, 3, hh, hw) with phase index
@@ -341,7 +360,8 @@ def merge_burst_raw_planes(
                 rows.append(jnp.stack(cols, 0))
         return jnp.stack(rows, 0)  # (2s, 2s, 3, hh, hw)
 
-    num_p, den_p = stack_phases(acc_n), stack_phases(acc_d)
+    num_p = stack_phases(acc_n).astype(jnp.float32)
+    den_p = stack_phases(acc_d).astype(jnp.float32)
     if phase_output:
         return num_p, den_p
 

@@ -282,6 +282,7 @@ def _handheld_fast(
         num_p, den_p = merge_burst_fast(
             warped, res_flow, cert, omega_inv, cfg.scale, cfg.merge.radius,
             cfg.residual_bound, k_max=cfg.merge.k_max, phase_output=True,
+            bf16=cfg.merge.bf16,
         )
         fallback_p = upsample_int_phases_planes(burst[0], cfg.scale, "bicubic")
         out_p = apply_weighting(num_p, den_p, fallback_p, cfg.merge.weight_threshold)
@@ -528,7 +529,7 @@ def _handheld_raw_fast(
             warped, res_half * 2.0, cert_half, omega_half, omega_half_rb,
             cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
             residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
-            guide=guide, phase_output=True,
+            guide=guide, phase_output=True, bf16=cfg.merge.bf16,
         )
         # channels 0/2 hold merged R-G / B-G; their fallback is the
         # fallback image's own color difference (channel axis = 2)
@@ -547,7 +548,7 @@ def _handheld_raw_fast(
             warped, res_half * 2.0, cert_half, omega_half, omega_half_rb,
             cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
             residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
-            phase_output=True,
+            phase_output=True, bf16=cfg.merge.bf16,
         )
         out_p = apply_weighting(num_p, den_p, fallback_p, cfg.merge.weight_threshold)
     if cfg.gamma:

@@ -197,14 +197,33 @@ def box_filter(img: jnp.ndarray, size: int, normalize: bool = True) -> jnp.ndarr
 
 
 def box_filter_planes(
-    x: jnp.ndarray, size: int, normalize: bool = True
+    x: jnp.ndarray, size: int, normalize: bool = True, mxu_bf16: bool = False
 ) -> jnp.ndarray:
     """Box filter over the LAST TWO axes of (..., H, W) — the
     channel/batch-LEADING layout TPU wants (W stays on the lane dim).
     Same numerics as box_filter (banded matmul for small windows,
-    edge-padded sliding cumsum for wide ones)."""
+    edge-padded sliding cumsum for wide ones).
+
+    ``mxu_bf16``: lower via bfloat16 banded matmuls with f32 MXU
+    accumulation for ANY window size. The ones-taps band is exact in
+    bf16 and the MXU accumulates in f32, so the only error is the input
+    quantization (~2^-8 relative) — numerically SAFER than a bf16
+    cumsum (whose running sum cancels catastrophically) and it moves
+    the wide-window sums off the VPU onto the MXU."""
     h, w = x.shape[-2], x.shape[-1]
-    if size <= 7 and max(h, w) <= _BAND_MATMUL_MAX_DIM:
+    if mxu_bf16 and max(h, w) <= _BAND_MATMUL_MAX_DIM:
+        taps = np.ones((size,), np.float32)
+        bh = jnp.asarray(_band_matrix(h, taps, "replicate"), jnp.bfloat16)
+        bw = jnp.asarray(_band_matrix(w, taps, "replicate"), jnp.bfloat16)
+        x16 = x.astype(jnp.bfloat16)
+        y = jnp.einsum(
+            "ij,...jw->...iw", bh, x16, preferred_element_type=jnp.float32
+        )
+        y = jnp.einsum(
+            "ij,...hj->...hi", bw, y.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    elif size <= 7 and max(h, w) <= _BAND_MATMUL_MAX_DIM:
         taps = np.ones((size,), np.float32)
         bh = jnp.asarray(_band_matrix(h, taps, "replicate"))
         bw = jnp.asarray(_band_matrix(w, taps, "replicate"))

@@ -44,7 +44,7 @@ def lk_step(
     # on a LEADING axis so H/W keep the sublane/lane dims (a trailing
     # 5-wide axis would be padded to 128 lanes — see ops.filters notes)
     prods = jnp.stack([ix * ix, ix * iy, iy * iy, ix * it, iy * it], axis=0)
-    sums = box_filter_planes(prods, win, normalize=False)
+    sums = box_filter_planes(prods, win, normalize=False, mxu_bf16=cfg.bf16)
     sxx, sxy, syy, sxt, syt = (sums[i] for i in range(5))
 
     # eigenvalues of the symmetric PSD normal matrix = its singular values

@@ -118,16 +118,25 @@ class MergeConfig:
     k_max: float = 1.0
     # RAW merge: R/B sites are 2 raw px apart, so their kernels need a
     # higher variance floor than green to cover the output grid without
-    # CFA-period fallback patterns
-    k_min_rb: float = 1.0
+    # CFA-period fallback patterns. 0.5 (down from round-2's 1.0)
+    # measures best across the bundled bursts AND true-HR fidelity
+    # (city +0.28, car +0.57 golden; +0.4 dB true-HR R/B sharpness,
+    # tools/eval_fidelity.py); 0.25 starts showing color speckle on
+    # noisy bursts.
+    k_min_rb: float = 0.5
     # guided R/B accumulation: merge R-G / B-G color differences (computed
     # against a gradient-weighted green estimate on the warped planes) and
     # reconstruct R = G + D_R, so chroma rides the sharp green channel
     # instead of blurring under the wide R/B kernels
     # (deBayerRedBlueKernel's color-difference fill lifted into the merge,
-    # DeBayerKernels.cu:152-231). Measured on the city burst: +1.3 dB in
-    # the no-motion (F=1) case but -0.8 dB at F=5 until the alignment
-    # pollution is fixed — default off, revisit with better alignment.
+    # DeBayerKernels.cu:152-231). Round-3 verdict: decisively OFF. The
+    # round-2 "alignment pollution" hypothesis was tested by swapping in
+    # smooth bilinear residual fields (smooth_residual) — guided still
+    # loses at every k_min_rb (city golden 29.2-29.3 guided vs 29.84
+    # unguided at k_min_rb=0.5), while simply lowering k_min_rb captures
+    # the chroma sharpness the guide was meant to buy (+0.4 dB true-HR
+    # R/B, tools/eval_fidelity.py). Kept as an option for parity with
+    # the reference's strategy.
     guided_rb: bool = False
     # ApplyWeighting: where accumulated weight < threshold, blend in the
     # fallback (reference/demosaiced) image (kernel.cu:425-481).
@@ -219,6 +228,15 @@ class HandheldConfig:
     # equivalent) instead of direct-to-reference measurements; ~2x the
     # alignment cost, more robust on low-texture frames
     use_consistency: bool = False
+    # fast paths: densify the subpixel residual by bilinear tile-shift
+    # interpolation (flow_from_tile_shifts — the texture read of
+    # CreateFlowFieldFromTiles, opticalFlow.cu:88-90) instead of
+    # block-repeating each tile's residual. Measured a wash on the city
+    # burst and true-HR fidelity (±0.05 dB) but smears unreliable tile
+    # measurements into their neighbors on small noisy bursts
+    # (car RAW −0.8, car RGB −1.5 dB) — default off; the LK refinement
+    # already provides per-pixel smoothness where the data supports it.
+    smooth_residual: bool = False
     # global similarity pre-alignment (FFT log-polar rotation/scale +
     # translation per alternate, registration/prealign.py) before the
     # tile pyramid — the reference's baseShift/baseRotation tile model

@@ -225,13 +225,24 @@ def _handheld_fast(
     else:
         valid_w = None
 
-    # residual subpixel flow, piecewise constant per tile (warp_t-sized
-    # tiles when aligning at half res — full-res LK below then recovers
-    # the subpixel precision the coarse estimation grid gives up)
+    # residual subpixel flow = SMOOTH dense flow minus the block-constant
+    # integer warp actually applied. The dense flow bilinearly
+    # interpolates the tile shifts exactly as the oracle path's
+    # flow_from_tile_shifts (the texture read of CreateFlowFieldFromTiles,
+    # opticalFlow.cu:88-90); a block-repeated residual instead kept the
+    # per-tile measurement noise and its block edges, measuring ~1 dB
+    # worse true-HR fidelity on synthetic shift bursts (tools/
+    # eval_fidelity.py).
     def lift(res):
         return jnp.repeat(jnp.repeat(res, warp_t, axis=0), warp_t, axis=1)[:h, :w]
 
-    res_flow = jax.vmap(lift)(res_tiles)
+    if cfg.smooth_residual:
+        smooth_flow = jax.vmap(
+            lambda s: flow_from_tile_shifts(s, warp_t, h, w)
+        )(tile_shifts)
+        res_flow = smooth_flow - jax.vmap(lift)(int_shifts.astype(jnp.float32))
+    else:
+        res_flow = jax.vmap(lift)(res_tiles)
 
     if cfg.use_lk:
         lk_cfg = dataclasses.replace(
@@ -464,12 +475,25 @@ def _handheld_raw_fast(
     valid_w = None if prevalid is None else warped_stack[:, 4]
     warped = jnp.concatenate([planes[:1], warped_alts], axis=0)
 
-    # residual at half res (<=0.5 px) + optional LK refinement on the
+    # residual at half res = SMOOTH dense flow (bilinear tile-shift
+    # interpolation, as the oracle's flow_from_tile_shifts /
+    # CreateFlowFieldFromTiles texture read) minus the block-constant
+    # integer warp applied above — block-repeated residuals keep the
+    # per-tile measurement noise and cost ~1 dB true-HR fidelity
+    # (tools/eval_fidelity.py); optional LK refinement follows on the
     # warped half-res luma
     def lift_half(res):
         return jnp.repeat(jnp.repeat(res, t, axis=0), t, axis=1)[:hh, :hw]
 
-    res_alts = jax.vmap(lift_half)(res_tiles[1:])
+    if cfg.smooth_residual:
+        smooth_half = jax.vmap(
+            lambda s: flow_from_tile_shifts(s, t, hh, hw)
+        )(tile_shifts[1:])
+        res_alts = smooth_half - jax.vmap(lift_half)(
+            int_half[1:].astype(jnp.float32)
+        )
+    else:
+        res_alts = jax.vmap(lift_half)(res_tiles[1:])
     warped_half = _subsample_from_planes(warped, cfg.cfa_pattern)
     gray_wh = rgb_to_gray(warped_half)
     if cfg.use_lk:

@@ -1,0 +1,128 @@
+"""True-HR fidelity floors (VERDICT r2 missing item #4 / directive 7).
+
+The golden tests (test_golden.py) pin PSNR(ref frame, downsample2(SR)) —
+a self-consistency metric a blurry-but-consistent output can satisfy.
+These tests pin TRUE super-resolution fidelity: a burst is synthesized
+FROM a known HR ground truth (city frame 0, the reference's own
+crop-with-rotation recipe, main.cpp:1877-1913) by subpixel-shifting/
+rotating, 2x-downsampling and mosaicking each frame; the pipeline's 2x SR
+output is then compared against the HR ground truth directly.
+
+Floors (measured on CPU; CPU/TPU agree to ~0.05 dB):
+  * demosaic+bicubic of frame 0 (single-frame baseline): 25.39 dB
+  * fast RAW pipeline, default config:  26.18 dB (shift+rot burst)
+  * oracle (fast=False) RAW pipeline:   26.65 dB
+The fast path must beat the single-frame baseline by a clear margin
+(the whole point of burst SR) and stay within a pinned gap of the
+oracle — the honest stand-in for BASELINE.md's "PSNR within 0.1 dB of
+the CUDA reference" north star, with the CUDA reference unrunnable
+here. Current fast-vs-oracle gap ~0.5 dB (R/B kernel floor k_min_rb +
+half-res residual quantization); tighten GAP_DB as it closes.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+needs_reference = pytest.mark.skipif(
+    not os.path.exists("/root/reference"), reason="reference data not mounted"
+)
+
+BASELINE_MARGIN_DB = 0.5   # fast must beat demosaic+bicubic by this much
+FAST_FLOOR_DB = 25.7       # measured 26.18 (<= 0.5 dB slack)
+GAP_DB = 0.75              # fast may trail the oracle by at most this
+
+
+def _make_hr_burst(hr, num_frames=5, seed=7, max_shift_hr=3.0, max_rot=0.01):
+    """HR RGB image -> mosaicked LR burst (F, H/2, W/2) with known
+    per-frame subpixel shifts + rotations (frame 0 unmoved)."""
+    from multi_frame_super_resolution_tpu.data import mosaic_rggb
+    from multi_frame_super_resolution_tpu.data.datasets import (
+        _rotate_translate_crop,
+    )
+    from multi_frame_super_resolution_tpu.ops.geometry import downsample2
+
+    h, w = hr.shape[:2]
+    rng = np.random.default_rng(seed)
+    frames = []
+    for f in range(num_frames):
+        if f == 0:
+            dy = dx = ang = 0.0
+        else:
+            dy, dx = rng.uniform(-max_shift_hr, max_shift_hr, 2)
+            ang = rng.uniform(-max_rot, max_rot)
+        warped = np.stack(
+            [
+                _rotate_translate_crop(hr[..., c], dy, dx, ang, h, w)
+                for c in range(3)
+            ],
+            axis=-1,
+        )
+        frames.append(mosaic_rggb(np.asarray(downsample2(jnp.asarray(warped)))))
+    return np.stack(frames)
+
+
+def _cfg(fast=True):
+    import dataclasses
+
+    from multi_frame_super_resolution_tpu.config import AlignConfig, HandheldConfig
+
+    cfg = HandheldConfig(
+        align=AlignConfig(tile_size=16, search_radius=4, levels=2), gamma=False
+    )
+    return dataclasses.replace(cfg, fast=fast)
+
+
+@pytest.fixture(scope="module")
+def hr_and_burst():
+    from multi_frame_super_resolution_tpu.data import load_burst
+
+    hr = load_burst("city")[0]
+    return hr, jnp.asarray(_make_hr_burst(hr))
+
+
+def _hr_psnr(hr, sr, margin=16):
+    from multi_frame_super_resolution_tpu.utils import psnr
+
+    hr_j = jnp.asarray(hr)
+    return float(
+        psnr(hr_j[margin:-margin, margin:-margin],
+             jnp.asarray(sr)[margin:-margin, margin:-margin])
+    )
+
+
+@needs_reference
+def test_true_hr_fidelity_floor_and_baseline(hr_and_burst):
+    from multi_frame_super_resolution_tpu.models import handheld_superres_raw
+    from multi_frame_super_resolution_tpu.ops.debayer import debayer
+    from multi_frame_super_resolution_tpu.ops.geometry import upscale
+
+    hr, raw = hr_and_burst
+    sr = jax.jit(lambda b: handheld_superres_raw(b, _cfg()))(raw)
+    p_fast = _hr_psnr(hr, sr)
+    assert p_fast > FAST_FLOOR_DB, p_fast
+
+    base = jax.jit(
+        lambda r: jnp.clip(
+            upscale(debayer(r, ((0, 1), (1, 2))), 2, "bicubic"), 0.0, 1.0
+        )
+    )(raw[0])
+    p_base = _hr_psnr(hr, base)
+    assert p_fast > p_base + BASELINE_MARGIN_DB, (p_fast, p_base)
+
+
+@needs_reference
+def test_true_hr_fast_vs_oracle_gap(hr_and_burst):
+    from multi_frame_super_resolution_tpu.models import handheld_superres_raw
+
+    hr, raw = hr_and_burst
+    p_fast = _hr_psnr(
+        hr, jax.jit(lambda b: handheld_superres_raw(b, _cfg()))(raw)
+    )
+    p_oracle = _hr_psnr(
+        hr, jax.jit(lambda b: handheld_superres_raw(b, _cfg(fast=False)))(raw)
+    )
+    assert p_fast > p_oracle - GAP_DB, (p_fast, p_oracle)

@@ -5,10 +5,11 @@ regress the pipelines (SURVEY.md §6: correctness is judged by PSNR on the
 bundled bursts; datasets at multi_frame_sr.cpp:151-163). Metric:
 psnr(reference frame, downsample2(2x SR output)).
 
-Round-2 measured values (global similarity pre-alignment on, CPU/TPU
-agree to ~0.05 dB): city RAW 29.6 / RGB 38.9; car RAW 30.7 / RGB 36.0;
-iso RAW 22.6 / RGB 27.7 (iso is a real high-ISO burst — frame noise
-bounds the metric). Floors sit ~1-1.5 dB under measurement.
+Round-3 measured values (prealign on, k_min_rb=0.5, CPU/TPU agree to
+~0.05 dB): city RAW 29.84 / RGB 38.65; car RAW 30.50 / RGB 35.68;
+iso RAW 22.59 / RGB 27.70 (iso is a real high-ISO burst — frame noise
+bounds the metric). Floors sit <= 0.5 dB under measurement (VERDICT r2
+weak #6) so a half-dB regression fails the suite.
 """
 
 import os
@@ -24,9 +25,9 @@ needs_reference = pytest.mark.skipif(
 
 # (dataset, tile_size, raw_floor_db, rgb_floor_db)
 _CASES = [
-    ("city", 16, 28.0, 36.5),
-    ("car", 8, 29.0, 34.5),
-    ("iso", 16, 21.0, 26.0),
+    ("city", 16, 29.4, 38.2),
+    ("car", 8, 30.0, 35.2),
+    ("iso", 16, 22.1, 27.2),
 ]
 
 

@@ -80,6 +80,55 @@ def _blur_decimate(img: jnp.ndarray, cfg: BTVConfig, s: int) -> jnp.ndarray:
     return axis_pass(axis_pass(xp, 0), 1)
 
 
+def _adjoint_blur_up(r: jnp.ndarray, cfg: BTVConfig, s: int) -> jnp.ndarray:
+    """Fused ``_blur(_block_mean_adjoint(r, s), cfg)`` — the adjoint-side
+    H Bᵀ of the degradation operator — computed polyphase: per axis, each
+    of the s output phases is a short conv of the LR residual with the
+    phase's subsampled taps (out[s i + p] = Σ_t k[t] r[(s i + p + t - r)/s]
+    with duplicate source indices merged), so no HR intermediate is ever
+    materialized and the tap count per HR output drops from K to ~K/s.
+
+    Exact including borders: edge-replicating the LR input commutes with
+    the block repeat (the repeat's edge rows ARE the LR edge rows).
+    Equality with the composed form is pinned in tests/test_btvl1.py."""
+    taps = _blur_taps(cfg)
+    # the adjoint's 1/s^2 splits as 1/s per separable axis pass
+    k = np.asarray(taps, np.float64) / s
+    r2 = len(k) // 2
+    # per-phase (source-offset -> weight) tables
+    phase_taps = []
+    max_off = 0
+    for p in range(s):
+        d: dict = {}
+        for t in range(len(k)):
+            src = (p + t - r2) // s  # floor division (negative-safe)
+            d[src] = d.get(src, 0.0) + float(k[t])
+        phase_taps.append(sorted(d.items()))
+        max_off = max(max_off, max(abs(o) for o, _ in d.items()))
+    h, w = r.shape[0], r.shape[1]
+    pad = max_off
+    pads = ((pad, pad), (pad, pad)) + ((0, 0),) * (r.ndim - 2)
+    xp = jnp.pad(r, pads, mode="edge")
+
+    def axis_up(x, axis, length):
+        phases = []
+        for p in range(s):
+            acc = None
+            for off, wgt in phase_taps[p]:
+                sl = [slice(None)] * x.ndim
+                sl[axis] = slice(pad + off, pad + off + length)
+                term = x[tuple(sl)] * wgt
+                acc = term if acc is None else acc + term
+            phases.append(acc)
+        stacked = jnp.stack(phases, axis=axis + 1)
+        shape = list(phases[0].shape)
+        shape[axis] *= s
+        return stacked.reshape(shape)
+
+    out = axis_up(xp, 0, h)  # (s*h, w + 2 pad, ...)
+    return axis_up(out, 1, w)
+
+
 def _block_mean(x: jnp.ndarray, s: int) -> jnp.ndarray:
     h, w = x.shape[0] // s, x.shape[1] // s
     if x.ndim == 2:
@@ -190,7 +239,14 @@ def _btvl1_window(
         alt_flows
     )
 
-    x0 = upscale(frames[cfg.temporal_radius], cfg.scale, "bicubic")
+    # integer-factor bicubic via static phase taps: numerically identical
+    # to upscale(..) but gatherless — the gather resize measured 54 ms on
+    # v5e at city HR, i.e. more than the entire 10-iteration solve
+    from multi_frame_super_resolution_tpu.ops.warp_fast import (
+        upsample_int as _up_int,
+    )
+
+    x0 = _up_int(frames[cfg.temporal_radius], cfg.scale, "bicubic")
 
     # flows are constant across iterations; all alternate frames run as
     # ONE batched computation per iteration (warp/blur/decimate vmapped
@@ -239,15 +295,13 @@ def _btvl1_window(
         )
         resid_alt = jnp.sign(sims_alt - frames_alt)
         ups_alt = jax.vmap(
-            lambda r: _blur(_block_mean_adjoint(r, cfg.scale), cfg)
+            lambda r: _adjoint_blur_up(r, cfg, cfg.scale)
         )(resid_alt)
         data_grad = warp_inv(ups_alt).sum(axis=0)
         if identity_center:
             sim_c = _blur_decimate(x, cfg, cfg.scale)
             resid_c = jnp.sign(sim_c - frame_c)
-            data_grad = data_grad + _blur(
-                _block_mean_adjoint(resid_c, cfg.scale), cfg
-            )
+            data_grad = data_grad + _adjoint_blur_up(resid_c, cfg, cfg.scale)
         grad = data_grad + cfg.lam * _btv_gradient(x, cfg)
         # tau is the classical 8-bit-range step (OpenCV default 1.3); both
         # gradient terms are sign-valued, so rescale to [0,1] intensities

@@ -121,3 +121,25 @@ def test_blur_decimate_matches_composition(rng):
         ref = _block_mean(_blur(x, cfg), 2)
         got = _blur_decimate(x, cfg, 2)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_adjoint_blur_up_matches_composition(rng):
+    """_adjoint_blur_up (polyphase H B^T) must equal
+    _blur(_block_mean_adjoint(r)) exactly — including borders: the LR
+    edge-replicate commutes with the block repeat."""
+    import jax.numpy as jnp
+
+    from multi_frame_super_resolution_tpu.config import BTVConfig
+    from multi_frame_super_resolution_tpu.models.btvl1 import (
+        _adjoint_blur_up,
+        _blur,
+        _block_mean_adjoint,
+    )
+
+    for s in (2, 3):
+        cfg = BTVConfig(scale=s)
+        for shape in [(17, 23), (16, 24, 3)]:
+            r = jnp.asarray(rng.random(shape), jnp.float32)
+            ref = _blur(_block_mean_adjoint(r, s), cfg)
+            got = _adjoint_blur_up(r, cfg, s)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)

@@ -52,6 +52,18 @@ def main():
             lk=dataclasses.replace(base.lk, iterations=1),
         ),
         "nolk": dataclasses.replace(base, use_lk=False),
+        "noprealign": dataclasses.replace(base, prealign=False),
+        "bf16merge": dataclasses.replace(
+            base, merge=dataclasses.replace(base.merge, bf16=True)
+        ),
+        "bf16lk": dataclasses.replace(
+            base, lk=dataclasses.replace(base.lk, bf16=True)
+        ),
+        "bf16both": dataclasses.replace(
+            base,
+            merge=dataclasses.replace(base.merge, bf16=True),
+            lk=dataclasses.replace(base.lk, bf16=True),
+        ),
     }
 
     ref = jnp.asarray(burst[0])

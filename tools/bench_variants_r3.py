@@ -66,6 +66,9 @@ def main():
         ),
     }
 
+    if len(sys.argv) > 1:  # filter: variant names on the command line
+        variants = {k: v for k, v in variants.items() if k in sys.argv[1:]}
+
     ref = jnp.asarray(burst[0])
     results = {}
     for rep in range(2):

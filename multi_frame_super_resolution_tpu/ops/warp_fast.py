@@ -241,94 +241,101 @@ def _axis_linear_resample(
     batch_dims: int = 0,
 ) -> jnp.ndarray:
     """1-D linear resample of (H, W) (plus ``batch_dims`` leading batch
-    axes) along image axis ``axis`` at per-pixel ABSOLUTE source
+    axes) along image axis ``axis`` at per-pixel AFFINE absolute source
     coordinates src (H, W): the other axis is indexed identically.
-    Borders replicate (coords clamped). Gatherless.
+    Borders replicate (coords clamped). Gatherless, MXU-resident.
 
-    The integer shift splits into a per-orthogonal-line mean (constant
-    along the shifted axis, so the two-level one-hot composition is
-    EXACT for it — see _axis_onehot_shift) plus a per-pixel residual
-    applied by a direct one-hot. For an affine map the residual is the
-    line's stretch only: |res| <= |d src/d axis - 1| * size/2, e.g.
-    ~4.5 px for a 15-deg rotation at width 256 — ``residual_bound``
-    covers it with a 2*rb+3 static window.
+    Exact for affine maps only (every caller routes through
+    similarity_warp_fast, whose grids are affine by construction). The
+    map decomposes as src(l, p) = p + t(p) + c(l): a stretch profile
+    t(p) = (slope - 1) * (p - center) SHARED by all orthogonal lines,
+    plus a per-line offset c(l). c's integer part is applied by the
+    two-level one-hot shift pass (exact for per-line-constant shifts);
+    what remains is a sample at p + t(p) + phi with phi = frac(c) in
+    [0, 1). Linear interpolation at t + phi reads 3 consecutive taps
+    floor(p + t) + {0, 1, 2}, and the tap POSITIONS depend only on p —
+    so the whole residual stage is ONE dense point-sample matmul
+    (ext, 3*size) on the MXU plus an elementwise piecewise-linear
+    blend in phi. This replaced a 2*rb+1-deep one-hot select loop
+    (~111 full-image VPU sweeps at width 512) with ~3 matmul
+    equivalents; the hoisted coarse pass now dominates the warp.
+
+    ``residual_bound`` retains its old meaning as the stretch clamp:
+    |t| <= rb, default sized for a 20-deg rotation (stretch
+    1/cos20 - 1 ~ 0.064) at this image size.
 
     ``batch_dims`` leading axes (e.g. RGB planes stacked channel-
-    LEADING) share one warp: the one-hot masks — a third of the inner-
-    loop volume — are computed once and broadcast across the batch."""
+    LEADING) share one warp: the one-hot masks and sample matrices are
+    computed once and broadcast across the batch."""
     ax = batch_dims + axis
     size = img.shape[ax]
-    # the residual after per-line hoisting is the line's stretch term
-    # |d src/d axis - 1| * size/2, which GROWS with the axis length —
-    # default sized for a 20-deg rotation (stretch 1/cos20 - 1 ~ 0.064)
-    # at this image size (a fixed small clamp misplaces outer columns of
-    # wide images at rotations >= ~12 deg)
+    other = 1 - axis  # the per-line axis of the (H, W) src grid
     rb = (
         residual_bound
         if residual_bound is not None
         else max(6, int(np.ceil(0.07 * size / 2.0)))
     )
-    pos = jax.lax.broadcasted_iota(jnp.float32, src.shape, axis)
-    base = jnp.floor(src)
-    frac = jnp.clip(src - base, 0.0, 1.0)
-    frac = frac.reshape(
-        (1,) * batch_dims
-        + frac.shape
-        + (1,) * (img.ndim - batch_dims - src.ndim)
-    )
-    # per-line hoist from the UNCLAMPED map (for an affine map the line
-    # mean is its center value, so the residual is the pure stretch
-    # term). The hoisted pass runs on an rb-extended domain so the
-    # residual pass below addresses true absolute positions even at the
-    # array ends; absolute targets are clamped to the image (replicate),
-    # matching the gather remap's index clamp. One extra entry on the
-    # high side serves the fused second tap (d+1 reads below).
-    hoist_f = jnp.clip(
-        jnp.round(jnp.mean(base - pos, axis=axis, keepdims=True)), -bound, bound
-    )
+    ext = size + 2 * rb + 5  # absolute positions -(rb+2) .. size+rb+2
+
+    # affine decomposition read off the grid ends (exact for affine)
+    lo = src.take(0, axis=axis)
+    hi = src.take(size - 1, axis=axis)
+    slope = (hi[0] - lo[0]) / float(max(size - 1, 1))
+    center = (size - 1) / 2.0
+    p_vec = jnp.arange(size, dtype=jnp.float32)
+    t = jnp.clip((slope - 1.0) * (p_vec - center), -rb, rb)  # (size,)
+    c = (lo + hi) * 0.5 - center  # per-line offset, (lines,)
+
+    # coarse pass: per-line integer hoist on an (rb+2)-extended domain
+    # so the matmul taps address true absolute positions even at the
+    # array ends; edge-replicated pads give the gather remap's index
+    # clamp (replicate-border) semantics.
+    hoist = jnp.clip(jnp.floor(c), -bound, bound)
+    phi = jnp.clip(c - hoist, 0.0, 1.0)  # (lines,)
     pads = [(0, 0)] * img.ndim
-    pads[ax] = (rb, rb + 1)
+    pads[ax] = (rb + 2, rb + 3)
     img_p = jnp.pad(img, pads, mode="edge")
-    ext_shape = list(src.shape)
-    ext_shape[axis] += 2 * rb + 1
+    ext_shape = [0, 0]
+    ext_shape[axis] = ext
+    ext_shape[other] = src.shape[other]
+    hoist_map = jnp.expand_dims(hoist.astype(jnp.int32), axis)
     g_ext = _axis_onehot_shift(
         img_p,
-        jnp.broadcast_to(hoist_f.astype(jnp.int32), tuple(ext_shape)),
+        jnp.broadcast_to(hoist_map, tuple(ext_shape)),
         bound,
         axis,
         batch_dims=batch_dims,
     )
 
-    # fused dual tap: both linear-interpolation taps share ONE one-hot
-    # mask stack (tap 1 reads the d+1 slice of the same extended pass);
-    # vs two independent _axis_onehot_direct calls this halves the mask
-    # compares and saves a pad+stack. Border semantics: the +1 read past
-    # the residual window lands on the edge-replicated pad, matching the
-    # gather remap's index clamp.
-    b = rb
-    res = jnp.clip(
-        jnp.clip(base, 0.0, size - 1.0) - pos - hoist_f, -b, b
-    ).astype(jnp.int32)
-    h_len = size
-
-    def take(x, start):
-        idx = (slice(None),) * ax + (slice(start, start + h_len),)
-        return x[idx]
-
-    dvals = jnp.arange(-b, b + 1)
-    oh = (res[None] == dvals.reshape((-1,) + (1,) * res.ndim)).astype(img.dtype)
-    oh = oh.reshape(
-        oh.shape[:1] + (1,) * batch_dims + oh.shape[1:]
-        + (1,) * (img.ndim - batch_dims - res.ndim)
+    # residual stage: 3 point-sample taps at floor(p + t) + {0,1,2} as
+    # one (ext, 3*size) 0/1 matmul (exact in f32 — each column selects
+    # a single element), then blend with s = frac(p + t) + phi in
+    # [0, 2): piecewise linear with the knee at s == 1.
+    base = jnp.floor(p_vec + t)
+    f = p_vec + t - base  # (size,), in [0, 1)
+    idx = base.astype(jnp.int32) + (rb + 2)  # index into the ext axis
+    iota_e = jnp.arange(ext, dtype=jnp.int32)
+    m3 = jnp.concatenate(
+        [
+            (iota_e[:, None] == (idx + k)[None, :]).astype(img.dtype)
+            for k in range(3)
+        ],
+        axis=1,
+    )  # (ext, 3*size)
+    if axis == 1:
+        taps = jnp.einsum("...he,ep->...hp", g_ext, m3)
+        e0, e1, e2 = jnp.split(taps, 3, axis=-1)
+        s = f[None, :] + phi[:, None]
+    else:
+        taps = jnp.einsum("...ew,ep->...pw", g_ext, m3)
+        e0, e1, e2 = jnp.split(taps, 3, axis=-2)
+        s = f[:, None] + phi[None, :]
+    s = s.reshape((1,) * batch_dims + s.shape)
+    return jnp.where(
+        s < 1.0,
+        e0 * (1.0 - s) + e1 * s,
+        e1 * (2.0 - s) + e2 * (s - 1.0),
     )
-    tap0 = None
-    tap1 = None
-    for i, d in enumerate(range(-b, b + 1)):
-        w0 = oh[i] * take(g_ext, b + d)
-        w1 = oh[i] * take(g_ext, b + d + 1)
-        tap0 = w0 if tap0 is None else tap0 + w0
-        tap1 = w1 if tap1 is None else tap1 + w1
-    return tap0 * (1.0 - frac) + tap1 * frac
 
 
 def _axis_onehot_direct(

@@ -58,6 +58,12 @@ def main() -> None:
         def rep(x):
             def body(c, _):
                 out = pipeline(x * (1.0 + c * 1e-5))
+                # materialize the output tensor: without the barrier XLA
+                # folds sum(clip(interleave(x))) into a reduction over the
+                # phase planes and ELIDES the final interleave (~0.5 ms of
+                # real per-burst cost at city size) — the headline must
+                # price the full pipeline including its output layout
+                out = jax.lax.optimization_barrier(out)
                 return c + 1.0, jnp.sum(out)
             _, outs = jax.lax.scan(body, 0.0, None, length=length)
             return jnp.sum(outs)

@@ -158,6 +158,51 @@ def interleave_phases_planes(p: jnp.ndarray) -> jnp.ndarray:
     return p.transpose(3, 0, 4, 1, 2).reshape(s * h, s * w, c)
 
 
+def interleave_phases_planes_mxu(
+    p: jnp.ndarray, precision="highest"
+) -> jnp.ndarray:
+    """Channel-leading phase planes (s, s, C, H, W) -> (s*H, s*W, C),
+    column interleave as MXU scatter matmuls.
+
+    The transpose+reshape form is cheap on well-laid-out inputs, but in
+    the full pipeline XLA's layout assignment feeds it channel-minor
+    data (C=3 on the 128-lane dim) and the lowered relayout copy was
+    the single most expensive op of the RAW pipeline (~587 us/burst at
+    city size, ~1/3 of the total — round-3 device trace).
+
+    Structure chosen so NO operand needs a physical relayout:
+      * one matmul PER px phase contracting only w (already the minor
+        dim of the phase planes) with a 0/1 scatter matrix (w, s*w)
+        that drops column j at s*j + px — contracting (px, w) jointly
+        would force the same px-minor relayout being avoided;
+      * the row interleave is transpose (py, C, H, k) -> (C, H, py, k),
+        which permutes only NON-minor dims (tile reordering, no
+        lane/sublane shuffles) and then reshapes adjacent major dims
+        (H, py) -> s*H for free;
+      * the final moveaxis to channel-last matches the (H, W, C)
+        entry layout {1,0,2} (physically channel-leading) — a bitcast.
+
+    Each output column receives exactly one input column, so the
+    matmul is numerically exact except for operand rounding at reduced
+    matmul precision: the default "highest" is bit-exact f32; None
+    (backend default, bf16 operands) is ~1e-3 relative — fine for
+    8-bit image sinks, not for f32 golden comparisons.
+    """
+    s = p.shape[0]
+    c, h, w = p.shape[2], p.shape[3], p.shape[4]
+    acc = None
+    for px in range(s):
+        e = np.zeros((w, s * w), np.float32)
+        e[np.arange(w), s * np.arange(w) + px] = 1.0
+        t = jnp.einsum(
+            "ychw,wk->ychk", p[:, px], jnp.asarray(e, p.dtype),
+            precision=precision,
+        )
+        acc = t if acc is None else acc + t  # (s, C, H, s*W)
+    out = jnp.transpose(acc, (1, 2, 0, 3)).reshape(c, s * h, s * w)
+    return jnp.moveaxis(out, 0, -1)
+
+
 def warp_bounded(img: jnp.ndarray, flow: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     """Bilinear backward warp out(x) = img(x + flow(x)) for flows bounded
     by r pixels (larger flows are clamped to [-r, r]).

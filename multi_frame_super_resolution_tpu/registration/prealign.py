@@ -36,13 +36,19 @@ from multi_frame_super_resolution_tpu.registration.logpolar import (
 
 
 def _box_down(gray: jnp.ndarray, ds: int) -> jnp.ndarray:
-    """Box-mean downsample (..., H, W) by an integer factor."""
+    """Box-mean downsample (..., H, W) by an integer factor. Rows pool
+    via a free major-axis reshape + sublane mean; columns via the MXU
+    pooling matmul (a lane-axis reshape+reduce relayouts, ~54 us per
+    plane on v5e — see ops.geometry.pool_cols_mxu)."""
     if ds <= 1:
         return gray
+    from multi_frame_super_resolution_tpu.ops.geometry import pool_cols_mxu
+
     h, w = gray.shape[-2], gray.shape[-1]
-    hh, hw = h // ds, w // ds
-    x = gray[..., : hh * ds, : hw * ds]
-    return x.reshape(x.shape[:-2] + (hh, ds, hw, ds)).mean(axis=(-3, -1))
+    hh = h // ds
+    x = gray[..., : hh * ds, :]
+    rows = x.reshape(x.shape[:-2] + (hh, ds, w)).mean(axis=-2)
+    return pool_cols_mxu(rows, ds)
 
 
 def estimate_burst_similarity(

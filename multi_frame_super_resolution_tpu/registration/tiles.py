@@ -229,48 +229,79 @@ def ssd_surface_image(
         warped_img = jnp.pad(warped_img, ((0, pad_h), (0, pad_w)), mode="edge")
         h, w = ref_img.shape
 
-    padded = jnp.pad(warped_img, r, mode="edge")
-    # stack the shifted copies on axis 0 (stacking on the minor axis would
-    # create 128x-padded singleton lanes on TPU)
-    shifted = jnp.stack(
-        [padded[u : u + h, v : v + w] for u in range(s) for v in range(s)],
-        axis=0,
-    )  # (S^2, H, W)
+    padded = jnp.pad(warped_img, r, mode="edge")  # (H+2R, W+2R)
+    hp, wp = padded.shape
+    dt = padded.dtype
+    prec = jax.lax.Precision.HIGHEST
 
-    # cross term: one multiply + tile reduction (leading-dim reshapes only)
-    prod = ref_img[None] * shifted
-    cc = (
-        prod.reshape(s * s, nty, t, w)
-        .sum(axis=2)
-        .reshape(s * s, nty, ntx, t)
-        .sum(axis=3)
-    )  # (S^2, nty, ntx)
-
-    # template energy per tile
-    tsq = (
-        (ref_img * ref_img).reshape(nty, t, w).sum(axis=1).reshape(nty, ntx, t).sum(axis=2)
+    # Ones-band matrices turn every tile/window box sum into an MXU
+    # matmul. The round-2 formulation sampled an integral image with
+    # 4(2R+1)^2 strided slices and did the tile reductions with
+    # lane-axis reshape-sums — several hundred tiny ops costing ~250 us
+    # per burst (round-3 device trace); the matmul forms are a handful
+    # of layout-native ops.
+    #   rows_t (nty, H):   rows_t[ty, i]      = 1  for i in [ty*t, ty*t+t)
+    #   cols_t (W, ntx):   cols_t[j, tx]      = 1  for j in [tx*t, tx*t+t)
+    #   rows_w (S*nty,HP): rows_w[u*nty+ty,i] = 1  for i in [u+ty*t, ..+t)
+    #   cols_w (WP,S*ntx): cols_w[j,v*ntx+tx] = 1  for j in [v+tx*t, ..+t)
+    iy = np.arange(nty * t)
+    rows_t = jnp.asarray(
+        (iy // t == np.arange(nty)[:, None]).astype(np.float32), dt
+    )
+    cols_t = rows_t.T if nty == ntx and h == w else jnp.asarray(
+        ((np.arange(ntx * t) // t)[:, None] == np.arange(ntx)).astype(np.float32),
+        dt,
+    )
+    uu = np.arange(s * nty)
+    u0 = (uu // nty) + (uu % nty) * t
+    rows_w = jnp.asarray(
+        ((np.arange(hp) >= u0[:, None]) & (np.arange(hp) < (u0 + t)[:, None]))
+        .astype(np.float32),
+        dt,
+    )
+    vv = np.arange(s * ntx)
+    v0 = (vv // ntx) + (vv % ntx) * t
+    cols_w = jnp.asarray(
+        ((np.arange(wp)[:, None] >= v0) & (np.arange(wp)[:, None] < (v0 + t)))
+        .astype(np.float32),
+        dt,
     )
 
-    # window energies: integral image of padded^2, sampled at strided
-    # offsets (2(2R+1) strided slices instead of per-window integrals)
+    # window energies: one sandwich matmul over padded^2
     sq = padded * padded
-    ii = jnp.pad(sq, ((1, 0), (1, 0))).cumsum(0).cumsum(1)
+    wsq = (
+        jnp.einsum("ui,ij,jv->uv", rows_w, sq, cols_w, precision=prec)
+        .reshape(s, nty, s, ntx)
+        .transpose(1, 3, 0, 2)
+    )  # (nty, ntx, S, S)
 
-    def at(u, v):
-        # sum over rows [tyT+u, tyT+u+T) x cols [txT+v, txT+v+T) of padded
-        top = ii[u : u + (nty - 1) * t + 1 : t, :]
-        bot = ii[u + t : u + t + (nty - 1) * t + 1 : t, :]
-        rows = bot - top  # (nty, W+2R+1)
-        left = rows[:, v : v + (ntx - 1) * t + 1 : t]
-        right = rows[:, v + t : v + t + (ntx - 1) * t + 1 : t]
-        return right - left  # (nty, ntx)
+    # template energy per tile
+    tsq = jnp.einsum(
+        "ti,ij,jx->tx", rows_t, ref_img * ref_img, cols_t, precision=prec
+    )
 
-    wsq = jnp.stack(
-        [at(u, v) for u in range(s) for v in range(s)], axis=0
-    )  # (S^2, nty, ntx)
+    # cross term: the S column shifts via one selector matmul (a lane
+    # dim slice-stack materializes S^2 full copies), the S row shifts as
+    # cheap sublane slices fused into the multiply, row-sums within
+    # tiles on sublanes, and the final tile-column sum on the MXU.
+    csel = np.zeros((wp, s, w), np.float32)
+    jj = np.arange(w)
+    for v in range(s):
+        csel[jj + v, v, jj] = 1.0
+    colsh = jnp.einsum(
+        "ij,jvk->vik", padded, jnp.asarray(csel, dt), precision=prec
+    )  # (S, HP, W)
+    cc_u = []
+    for u in range(s):
+        m = (ref_img[None] * colsh[:, u : u + h, :]).reshape(s, nty, t, w)
+        cc_u.append(
+            jnp.einsum("vnw,wx->vnx", m.sum(axis=2), cols_t, precision=prec)
+        )
+    cc = jnp.stack(cc_u, axis=0)  # (S_u, S_v, nty, ntx)
 
-    ssd = tsq[None] + wsq - 2.0 * cc  # (S^2, nty, ntx)
-    return ssd.reshape(s, s, nty, ntx).transpose(2, 3, 0, 1)
+    return (
+        tsq[..., None, None] + wsq - 2.0 * cc.transpose(2, 3, 0, 1)
+    )
 
 
 def find_min_shift(
@@ -288,7 +319,7 @@ def find_min_shift(
     nty, ntx, s, _ = ssd.shape
     flat = ssd.reshape(nty, ntx, s * s)
     idx = jnp.argmin(flat, axis=-1)
-    min_val = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
+    min_val = jnp.min(flat, axis=-1)
     max_val = jnp.max(flat, axis=-1)
     py = idx // s
     px = idx % s
@@ -299,14 +330,31 @@ def find_min_shift(
     )
 
     if subpixel:
+        # gatherless 3x3 neighborhood: one-hot row/col masks of the
+        # (clipped) argmin select each patch entry as a masked reduction
+        # over the surface — the per-tile advanced-index gather this
+        # replaces cost 74 us/burst on v5e (round-3 device trace) for a
+        # 41 KB array
         cy = jnp.clip(py, 1, s - 2)
         cx = jnp.clip(px, 1, s - 2)
-        offs = jnp.arange(-1, 2)
-        yy = cy[..., None, None] + offs[:, None]
-        xx = cx[..., None, None] + offs[None, :]
-        ty = jnp.arange(nty)[:, None, None, None]
-        tx = jnp.arange(ntx)[None, :, None, None]
-        patch = ssd[ty, tx, yy, xx]
+        ar = jnp.arange(s)
+        oy = (ar == cy[..., None]).astype(ssd.dtype)  # (nty, ntx, S)
+        ox = (ar == cx[..., None]).astype(ssd.dtype)
+        sel = oy[..., :, None] * ox[..., None, :]  # (nty, ntx, S, S)
+        ssd_p = jnp.pad(ssd, ((0, 0), (0, 0), (1, 1), (1, 1)))
+        patch = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        (sel * ssd_p[..., k : k + s, l : l + s]).sum((-2, -1))
+                        for l in range(3)
+                    ],
+                    axis=-1,
+                )
+                for k in range(3)
+            ],
+            axis=-2,
+        )  # (nty, ntx, 3, 3)
         shift = shift + quadratic_subpixel_min(patch)
 
     zero = jnp.zeros_like(shift)

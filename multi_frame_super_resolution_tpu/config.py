@@ -50,9 +50,13 @@ class AlignConfig:
     # (kernel.cu:629-633). Expressed relative to tile energy.
     peak_threshold: float = 0.0
     subpixel: bool = True        # 3x3 quadratic interpolation of the SSD argmin
-    # extract search windows with the Pallas DMA kernel instead of an XLA
-    # gather (TPU-only; leave False on CPU backends)
-    use_pallas: bool = False
+    # NOTE (round 4): the former ``use_pallas`` per-tile DMA extraction
+    # path is RETIRED — Mosaic requires DMA slice shapes 128-aligned on
+    # the lane dim, fundamentally incompatible with a 16-px tile grid
+    # (probe re-run 2026-08-19: "slice shape along dimension 2 must be
+    # aligned to tiling (128)"). The kernels remain in pallas_ops/ as
+    # interpret-mode research artifacts; see BENCH_NOTES.md "Pallas
+    # verdict (round 4)".
     # gatherless window extraction (tile-warp + static block assembly);
     # halo semantics differ slightly from the reference at tile borders
     # (see tiles.extract_search_windows_fast) but no data-dependent gather
@@ -144,8 +148,11 @@ class MergeConfig:
     radius: int = 2              # 5x5 neighborhood (DeBayerKernels.cu:317)
     # run the accumulate stage through the Pallas merge kernel
     # (pallas_ops/merge.py) instead of the XLA static-tap formulation.
-    # Interpret-parity is pinned in tests; the env's Mosaic compile is
-    # re-probed each round (BENCH_NOTES.md) before flipping this on TPU.
+    # Round-4 verdict: compiles AND matches on real Mosaic (probe
+    # 2026-08-19) but is SLOWER than the XLA static-tap path (4.3 vs
+    # 2.9 ms, round-2 measurement; the XLA path has only gotten faster
+    # since) — kept as a working alternative, off by default
+    # (BENCH_NOTES.md "Pallas verdict (round 4)").
     use_pallas: bool = False
     # accumulate in bfloat16 (weights/products; the num/den outputs are
     # converted back to f32 before normalization). The reference merges

@@ -188,36 +188,23 @@ def _handheld_fast(
         tile_shifts = tile_shifts * 2.0  # half-res units -> full-res px
     int_shifts, res_tiles = tile_shift_decompose(tile_shifts)
 
-    # integer tile warp into reference geometry; frames x channels go
-    # through the Pallas DMA kernel as one stacked call when enabled and
-    # tile-aligned, an XLA structured gather otherwise
+    # integer tile warp into reference geometry via the one-hot select
+    # warp (the Pallas per-tile DMA variant is retired — Mosaic's
+    # 128-lane DMA slice granularity rejects 16-px tile slices; see
+    # BENCH_NOTES.md "Pallas verdict (round 4)").
+    # channel-LEADING plane stack: warping (H, W, C) directly puts C
+    # on the 128-padded lane dim (see prealign.apply_burst_similarity)
     c = burst.shape[-1]
-    if cfg.align.use_pallas and h % warp_t == 0 and w % warp_t == 0:
-        from multi_frame_super_resolution_tpu.pallas_ops.tile_warp import (
-            tile_warp_pallas,
+    stack = burst[1:].transpose(0, 3, 1, 2).reshape((f - 1) * c, h, w)
+    ints_rep = jnp.repeat(int_shifts[1:], c, axis=0)
+    warped_alts = (
+        jax.vmap(lambda fr, ints: tile_warp_select(fr, ints, warp_t))(
+            stack, ints_rep
         )
-
-        stack = burst.transpose(0, 3, 1, 2).reshape(f * c, h, w)
-        ints_rep = jnp.repeat(int_shifts, c, axis=0)
-        warped = (
-            tile_warp_pallas(stack, ints_rep, warp_t)
-            .reshape(f, c, h, w)
-            .transpose(0, 2, 3, 1)
-        )
-        warped = warped.at[0].set(burst[0])
-    else:
-        # channel-LEADING plane stack: warping (H, W, C) directly puts C
-        # on the 128-padded lane dim (see prealign.apply_burst_similarity)
-        stack = burst[1:].transpose(0, 3, 1, 2).reshape((f - 1) * c, h, w)
-        ints_rep = jnp.repeat(int_shifts[1:], c, axis=0)
-        warped_alts = (
-            jax.vmap(lambda fr, ints: tile_warp_select(fr, ints, warp_t))(
-                stack, ints_rep
-            )
-            .reshape(f - 1, c, h, w)
-            .transpose(0, 2, 3, 1)
-        )
-        warped = jnp.concatenate([burst[:1], warped_alts], axis=0)
+        .reshape(f - 1, c, h, w)
+        .transpose(0, 2, 3, 1)
+    )
+    warped = jnp.concatenate([burst[:1], warped_alts], axis=0)
     if cfg.prealign:
         valid_w = warped[..., 3]
         warped = warped[..., :3]

@@ -1,5 +1,12 @@
 """Pallas tile-block gather: per-tile shifted blocks with halo via DMA.
 
+RETIRED from the production pipeline (round 4): Mosaic rejects the
+(t + 2R)-wide per-tile DMA slices ("slice shape along dimension 2 must
+be aligned to tiling (128), but is 24" — probe re-run on real v5e,
+2026-08-19). Interpret-mode research artifact only; the production
+window path is align.py's fused tile-warp + ssd_surface_image. See
+BENCH_NOTES.md "Pallas verdict (round 4)".
+
 The TPU-native convertToTilesOverlapPreShift (kernel.cu:323-378): for
 each alignment tile, DMA the block ``img[tile_origin + shift - pad ...]``
 (halo pad = search radius) into its own output slot, with per-tile shifts

@@ -1,5 +1,16 @@
 """Pallas tile-warp kernel: per-tile integer shifts via DMA.
 
+RETIRED from the production pipeline (round 4): Mosaic requires DMA
+slice shapes to be 128-aligned on the lane dimension, and a 16-px tile
+grid fundamentally is not ("slice shape along dimension 2 must be
+aligned to tiling (128), but is 16" — probe re-run on real v5e,
+2026-08-19, tools/probe_pallas.py). Widening tiles to 128 px would be a
+different (worse) alignment algorithm, and the XLA one-hot select warp
+(ops.warp_fast.tile_warp_select) outperforms every measured Pallas
+variant at these shapes. Kept as an interpret-mode research artifact
+with parity tests (tests/test_pallas_ops.py); see BENCH_NOTES.md
+"Pallas verdict (round 4)".
+
 The TPU-native replacement for the reference's texture-sampled warps
 (WarpingKernel, opticalFlow.cu:27-44): instead of per-pixel gathers, the
 kernel DMAs each shifted tile block straight out of HBM — the DMA engine

@@ -6,9 +6,11 @@ coarser level (convertToTilesOverlapPreShift / normalizedCC / findMinimum)
 -> shift-field upsampling (UpSampleShifts) -> dense flow field
 (CreateFlowFieldFromTiles, opticalFlow.cu:47-93).
 
-The frame axis is processed stacked (one XLA computation per burst); with
-``cfg.use_pallas`` the per-level window extraction goes through the
-Pallas DMA kernel (frames as a grid dimension) instead of an XLA gather.
+The frame axis is processed stacked (one XLA computation per burst).
+The former Pallas per-tile DMA window extraction is retired (Mosaic's
+128-lane DMA slice granularity rejects (t + 2R)-wide tile slices; see
+BENCH_NOTES.md "Pallas verdict (round 4)") — the production path is the
+fused tile-warp + ssd_surface_image formulation below.
 """
 
 from __future__ import annotations
@@ -75,15 +77,7 @@ def align_frames(
         # found by the search is relative to the rounded prediction
         rounded = jnp.round(total)
         ref_tiles = extract_ref_tiles(r, cfg.tile_size)
-        if cfg.use_pallas:
-            from multi_frame_super_resolution_tpu.pallas_ops.tile_gather import (
-                tile_gather_pallas,
-            )
-
-            windows = tile_gather_pallas(
-                a, rounded.astype(jnp.int32), cfg.tile_size, radius
-            )
-        elif (
+        if (
             cfg.fast_extract
             and not cfg.use_fft
             and 2 * radius <= cfg.tile_size

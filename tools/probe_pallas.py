@@ -57,6 +57,23 @@ def main() -> int:
         print("FAIL tile_warp_pallas:")
         traceback.print_exc(limit=2)
 
+    # 2b. tile-gather window-extraction DMA kernel (AlignConfig's former
+    # pallas extraction path — same 16-px lane slicing as tile_warp)
+    try:
+        from multi_frame_super_resolution_tpu.pallas_ops.tile_gather import (
+            tile_gather_pallas,
+        )
+
+        img = jnp.asarray(rng.random((64, 128)), jnp.float32)
+        pre = jnp.asarray(rng.integers(-3, 4, (4, 8, 2)), jnp.int32)
+        out = tile_gather_pallas(img, pre, 16, 4)
+        jax.block_until_ready(out)
+        print("PASS tile_gather_pallas")
+    except Exception:
+        failures += 1
+        print("FAIL tile_gather_pallas:")
+        traceback.print_exc(limit=2)
+
     # 3. merge kernel
     try:
         from multi_frame_super_resolution_tpu.pallas_ops.merge import (
@@ -78,7 +95,7 @@ def main() -> int:
         print("FAIL merge_fast_pallas:")
         traceback.print_exc(limit=2)
 
-    print(f"{3 - failures}/3 kernels compiled+ran")
+    print(f"{4 - failures}/4 kernels compiled+ran")
     return 0
 
 

@@ -122,12 +122,12 @@ class MergeConfig:
     k_max: float = 1.0
     # RAW merge: R/B sites are 2 raw px apart, so their kernels need a
     # higher variance floor than green to cover the output grid without
-    # CFA-period fallback patterns. 0.5 (down from round-2's 1.0)
-    # measures best across the bundled bursts AND true-HR fidelity
-    # (city +0.28, car +0.57 golden; +0.4 dB true-HR R/B sharpness,
-    # tools/eval_fidelity.py); 0.25 starts showing color speckle on
-    # noisy bursts.
-    k_min_rb: float = 0.5
+    # CFA-period fallback patterns. Under the order-0 merge 0.5 measured
+    # best (round 3: city +0.28, car +0.57 golden); under the order-1
+    # merge the fit tolerates narrower R/B kernels and 0.25 (= no extra
+    # floor beyond k_min) gains +0.11 dB true-HR (round-4 sweep,
+    # tools/eval_fidelity.py). Raise toward 0.5 for very noisy bursts.
+    k_min_rb: float = 0.25
     # guided R/B accumulation: merge R-G / B-G color differences (computed
     # against a gradient-weighted green estimate on the warped planes) and
     # reconstruct R = G + D_R, so chroma rides the sharp green channel
@@ -145,7 +145,41 @@ class MergeConfig:
     # ApplyWeighting: where accumulated weight < threshold, blend in the
     # fallback (reference/demosaiced) image (kernel.cu:425-481).
     weight_threshold: float = 1e-2
-    radius: int = 2              # 5x5 neighborhood (DeBayerKernels.cu:317)
+    # regression order of the merge estimator (round 4):
+    #   0 = the reference's Nadaraya-Watson weighted average
+    #       (accumulateImagesSuperRes, DeBayerKernels.cu:378-468)
+    #   1 = local LINEAR kernel regression (Takeda et al. IEEE TIP 2007):
+    #       fits value + gradient per output pixel, removing the sample-
+    #       centroid bias that capped true-HR fidelity at ~26.8 dB even
+    #       with perfect flows (+0.6 dB measured, tools/eval_gt_flow.py /
+    #       proto_order1.py). Default: the quality bar of the north star
+    #       outranks reference behavioral parity (order=0 kept for it).
+    order: int = 1
+    # order-1 Tikhonov ridge on the gradient block, scaled by the local
+    # weight sum (density-invariant). 0.01-0.05 measure within 0.03 dB;
+    # larger values shrink toward the order-0 average.
+    ridge: float = 0.02
+    # order-1 solver:
+    #   "exact"  — per-pixel 3x3 weighted normal equations (jointly fits
+    #              value + gradient; 9 moment stacks accumulated)
+    #   "plugin" — first-order centroid-bias correction est = pilot -
+    #              grad(pilot) . centroid with the gradient iterated from
+    #              the pilot image (models.merge.solve_plugin); only 4
+    #              moment stacks, ~2x order-0 merge volume instead of
+    #              4.5x — the fast-path default once quality parity was
+    #              measured (round 4)
+    solver: str = "plugin"
+    plugin_iters: int = 2
+    # static tap pruning threshold: taps whose best-case Gaussian weight
+    # is below e^-prune_exp are dropped at trace time (fast merges).
+    # 6.0 reproduces the reference's 5x5 window at the order-0 defaults;
+    # 3.0 with radius=1 + residual_bound=0.5 keeps exactly the 3x3-tap
+    # window that measures IDENTICAL true-HR fidelity under order=1
+    # (27.28 dB both, tools/proto_order1.py) at ~1/3 the tap volume.
+    prune_exp: float = 3.0
+    radius: int = 1              # tap neighborhood (reference: 2 => 5x5,
+    #                              DeBayerKernels.cu:317; order-1 default
+    #                              1 — see prune_exp)
     # run the accumulate stage through the Pallas merge kernel
     # (pallas_ops/merge.py) instead of the XLA static-tap formulation.
     # Round-4 verdict: compiles AND matches on real Mosaic (probe
@@ -222,7 +256,12 @@ class HandheldConfig:
     st_window: int = 3           # structure-tensor smoothing window
     gamma: bool = False          # sRGB-encode the output (RAW/linear input)
     fast: bool = True            # gatherless tile-warp + static-tap merge
-    residual_bound: float = 1.0  # fast path: subpixel residual clamp (px)
+    # fast path: subpixel residual clamp (px). The integer tile warp
+    # leaves a residual in [-0.5, 0.5] per tile, but the per-pixel LK
+    # correction legitimately exceeds that within a tile — clamping at
+    # 0.5 cost 0.45 dB true-HR fidelity under the order-1 merge
+    # (round-4 bisect, tools/eval_fidelity.py); 1.0 vs 2.0 is a wash.
+    residual_bound: float = 1.0
     # RGB fast path: run the tile-pyramid search on 2x-downsampled luma
     # (the reference's own alignment resolution — deBayersSubSample3,
     # DeBayerKernels.cu:243-283) and lift the shifts to full res; the
@@ -238,12 +277,23 @@ class HandheldConfig:
     # fast paths: densify the subpixel residual by bilinear tile-shift
     # interpolation (flow_from_tile_shifts — the texture read of
     # CreateFlowFieldFromTiles, opticalFlow.cu:88-90) instead of
-    # block-repeating each tile's residual. Measured a wash on the city
-    # burst and true-HR fidelity (±0.05 dB) but smears unreliable tile
-    # measurements into their neighbors on small noisy bursts
-    # (car RAW −0.8, car RGB −1.5 dB) — default off; the LK refinement
-    # already provides per-pixel smoothness where the data supports it.
-    smooth_residual: bool = False
+    # block-repeating each tile's residual. Under the order-0 merge this
+    # was a wash on true-HR fidelity and smeared unreliable tile
+    # measurements on small noisy bursts (round 3: car RAW −0.8 dB).
+    # Under the order-1 merge the fit needs accurate per-pixel
+    # displacements, and the smooth residual gains +0.11 dB true-HR
+    # (round-4 sweep) — default on; flip off for tiny low-texture
+    # bursts if car-style golden scores regress.
+    smooth_residual: bool = True
+    # post-merge restoration filter (ops/restore.py): a fixed 7x7 FIR
+    # fitted against true-HR ground truth (tools/fit_restore.py) that
+    # deconvolves the scene-independent sampling PSF (sensor box +
+    # interpolation + merge kernel). +0.5-1.0 dB true-HR on clean
+    # bursts, -0.2 dB on very noisy HR targets (iso) — the calibrated
+    # equivalent of the reference's unconditional output sharpen
+    # (sharpenImg2, multi_frame_sr.cpp:207-209). Applied only at
+    # scale=2 (the calibration point).
+    final_restore: bool = True
     # global similarity pre-alignment (FFT log-polar rotation/scale +
     # translation per alternate, registration/prealign.py) before the
     # tile pyramid — the reference's baseShift/baseRotation tile model

@@ -48,18 +48,21 @@ def _output_phase_offsets(s: int) -> np.ndarray:
     return (o + 0.5) / s - 0.5
 
 
-def _active_taps(r_taps: int, residual_bound: float, scale: int, k_max: float):
+def _active_taps(
+    r_taps: int, residual_bound: float, scale: int, k_max: float,
+    prune_exp: float = 6.0,
+):
     """Static tap pruning: keep taps whose best-case Gaussian weight
-    exceeds e^-6. |d|_min per axis = max(0, |k| - rb - max|phi|) * s in
-    output-grid units; the weight bound uses the largest clamped kernel
-    variance k_max."""
+    exceeds e^-prune_exp. |d|_min per axis = max(0, |k| - rb - max|phi|)
+    * s in output-grid units; the weight bound uses the largest clamped
+    kernel variance k_max."""
     phi_max = float(np.max(np.abs(_output_phase_offsets(scale))))
     taps = []
     for ky in range(-r_taps, r_taps + 1):
         for kx in range(-r_taps, r_taps + 1):
             dy = max(0.0, abs(ky) - residual_bound - phi_max) * scale
             dx = max(0.0, abs(kx) - residual_bound - phi_max) * scale
-            if (dy * dy + dx * dx) / (2.0 * max(k_max, 1e-6)) <= 6.0:
+            if (dy * dy + dx * dx) / (2.0 * max(k_max, 1e-6)) <= prune_exp:
                 taps.append((ky, kx))
     return taps
 
@@ -85,7 +88,10 @@ def merge_burst_fast(
     k_max: float = 1.0,
     phase_output: bool = False,
     bf16: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    order: int = 0,
+    prune_exp: float = 6.0,
+    moment_slots: int = 9,
+) -> Tuple[jnp.ndarray, ...]:
     """Merge tile-warped RGB frames onto the scale-x output grid.
 
     warped: (F, H, W, 3) frames already integer-tile-warped to reference
@@ -96,12 +102,19 @@ def merge_burst_fast(
     all pointwise math before one final interleave (the interleave is a
     lane-crossing transpose, ~1.2 ms per array at city size on v5e;
     channel-leading because a 3-minor channel axis pads to 128 lanes).
+
+    order=1: local-linear regression — returns the 9 moment stacks
+    (models.merge.solve_order1 order) instead of (num, den), or just
+    (m00, m01, m02, b0) with ``moment_slots=4`` (the solve_plugin
+    subset); bf16 is ignored (moment cancellation needs f32).
     """
     f, h, w = warped.shape[:3]
     s = scale
     sh, sw = h * s, w * s
+    if order == 1:
+        bf16 = False
     r_taps = radius + int(np.ceil(residual_bound))
-    taps = _active_taps(r_taps, residual_bound, s, k_max)
+    taps = _active_taps(r_taps, residual_bound, s, k_max, prune_exp)
 
     # PHASE-SEPARATED accumulation: every output pixel of phase (py, px)
     # shares its nearest input sample with its block, so all tap math runs
@@ -124,15 +137,22 @@ def merge_burst_fast(
     warped_c = jnp.moveaxis(warped, -1, 1).astype(acc_dt)  # (F, 3, H, W)
     cert_c = jnp.moveaxis(certainty, -1, 1).astype(acc_dt)
 
+    n_acc = moment_slots if order == 1 else 2
+
     def accumulate_frame(carry, frame_data):
-        num, den = carry  # (s, s, 3, H, W) phase accumulators
         img, res, cert = frame_data  # (3, H, W), (H, W, 2), (3, H, W)
         res_y = jnp.clip(res[..., 0], -residual_bound, residual_bound)
         res_x = jnp.clip(res[..., 1], -residual_bound, residual_bound)
         # per-phase local accumulators keep the whole tap sum inside one
         # fusible expression (no scatter-adds into the carry)
-        acc_n = [[None] * s for _ in range(s)]
-        acc_d = [[None] * s for _ in range(s)]
+        acc = [[[None] * s for _ in range(s)] for _ in range(n_acc)]
+
+        def add(k, py, px, term):
+            if acc[k][py][px] is None:
+                acc[k][py][px] = term
+            else:
+                acc[k][py][px] = acc[k][py][px] + term
+
         for ky, kx in taps:
             val = _shift_last2(img, ky, kx)
             cert_k = _shift_last2(cert, ky, kx)
@@ -147,37 +167,72 @@ def merge_burst_fast(
                         * (dx * dx * oxx + dy * dy * oyy + 2.0 * dx * dy * oxy)
                     ).astype(acc_dt)
                     cw = wgt[None] * cert_k
-                    nterm = val * cw
-                    if acc_n[py][px] is None:
-                        acc_n[py][px] = nterm
-                        acc_d[py][px] = cw
+                    cwv = val * cw
+                    if order == 0:
+                        add(0, py, px, cwv)
+                        add(1, py, px, cw)
+                    elif n_acc == 4:
+                        add(0, py, px, cw)
+                        add(1, py, px, cw * dy[None])
+                        add(2, py, px, cw * dx[None])
+                        add(3, py, px, cwv)
                     else:
-                        acc_n[py][px] = acc_n[py][px] + nterm
-                        acc_d[py][px] = acc_d[py][px] + cw
-        frame_n = jnp.stack([jnp.stack(r, 0) for r in acc_n], 0)
-        frame_d = jnp.stack([jnp.stack(r, 0) for r in acc_d], 0)
-        return (
-            num + frame_n.astype(jnp.float32),
-            den + frame_d.astype(jnp.float32),
-        ), None
+                        cwdy = cw * dy[None]
+                        cwdx = cw * dx[None]
+                        add(0, py, px, cw)
+                        add(1, py, px, cwdy)
+                        add(2, py, px, cwdx)
+                        add(3, py, px, cwdy * dy[None])
+                        add(4, py, px, cwdy * dx[None])
+                        add(5, py, px, cwdx * dx[None])
+                        add(6, py, px, cwv)
+                        add(7, py, px, cwv * dy[None])
+                        add(8, py, px, cwv * dx[None])
+        frames = tuple(
+            jnp.stack([jnp.stack(r, 0) for r in acc[k]], 0).astype(jnp.float32)
+            for k in range(n_acc)
+        )
+        return tuple(c + fr for c, fr in zip(carry, frames)), None
 
-    num0 = jnp.zeros((s, s, 3, h, w), jnp.float32)
-    den0 = jnp.zeros((s, s, 3, h, w), jnp.float32)
-    (num, den), _ = jax.lax.scan(
-        accumulate_frame, (num0, den0), (warped_c, residual, cert_c)
+    acc0 = tuple(
+        jnp.zeros((s, s, 3, h, w), jnp.float32) for _ in range(n_acc)
+    )
+    accs, _ = jax.lax.scan(
+        accumulate_frame, acc0, (warped_c, residual, cert_c)
     )
 
     if phase_output:
         # CHANNEL-LEADING phases (s, s, 3, H, W): callers finish the
         # pointwise finalize in this layout and interleave once
         # (ops.warp_fast.interleave_phases_planes)
-        return num, den
+        return accs
 
     # interleave phases: (s, s, 3, H, W) -> (sH, sW, 3)
     def interleave(acc):
         return acc.transpose(3, 0, 4, 1, 2).reshape(sh, sw, 3)
 
-    return interleave(num), interleave(den)
+    return tuple(interleave(a) for a in accs)
+
+
+def grad_phases(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Central-difference gradient of a channel-leading phase stack
+    (n, n, C, hh, hw) in OUTPUT pixel units: phase (r, c) holds output
+    pixel (n*i + r, n*j + c), so the output-row neighbor of phase r is
+    phase r-1 (same plane row), wrapping to phase n-1 one plane row up.
+    Plugin-gradient companion of models.merge.grad_image for the fast
+    (phase-domain) pipelines."""
+    n = x.shape[0]
+    prev_r = [x[r - 1] if r > 0 else _shift_last2(x[n - 1], -1, 0)
+              for r in range(n)]
+    next_r = [x[r + 1] if r < n - 1 else _shift_last2(x[0], 1, 0)
+              for r in range(n)]
+    gy = 0.5 * (jnp.stack(next_r, 0) - jnp.stack(prev_r, 0))
+    prev_c = [x[:, c - 1] if c > 0 else _shift_last2(x[:, n - 1], 0, -1)
+              for c in range(n)]
+    next_c = [x[:, c + 1] if c < n - 1 else _shift_last2(x[:, 0], 0, 1)
+              for c in range(n)]
+    gx = 0.5 * (jnp.stack(next_c, 1) - jnp.stack(prev_c, 1))
+    return gy, gx
 
 
 def green_guide_planes(planes: jnp.ndarray, cfa) -> jnp.ndarray:
@@ -241,7 +296,10 @@ def merge_burst_raw_planes(
     guide: jnp.ndarray | None = None,
     phase_output: bool = False,
     bf16: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    order: int = 0,
+    prune_exp: float = 6.0,
+    moment_slots: int = 9,
+) -> Tuple[jnp.ndarray, ...]:
     """CFA-aware merge on half-resolution planes
     (accumulateImagesSuperRes equivalent, DeBayerKernels.cu:378-468).
 
@@ -264,14 +322,23 @@ def merge_burst_raw_planes(
     accumulated as COLOR DIFFERENCES value - guide, so channels 0/2 of
     (num, den) hold merged R-G / B-G fields; the caller reconstructs
     R = G + D_R (see handheld._handheld_raw_fast).
+
+    order=1: local LINEAR regression — returns the 9 moment stacks in
+    models.merge.solve_order1 order instead of (num, den). The moment
+    fields dy/dx and their pairwise products are hoisted per (tap,
+    phase) and shared by all four parities/channels; bf16 is ignored
+    (moment cancellation in the 3x3 solve needs f32).
     """
     f = planes.shape[0]
     hh, hw = planes.shape[-2], planes.shape[-1]
     s = scale
+    if order == 1:
+        bf16 = False
     r_taps = radius + int(np.ceil(residual_bound))
-    taps = _active_taps(r_taps, residual_bound, s, k_max)
+    taps = _active_taps(r_taps, residual_bound, s, k_max, prune_exp)
     phi = _output_phase_offsets(s)
     pat = np.asarray(cfa)
+    n_acc = 9 if order == 1 else 2
 
     # bf16: the Gaussian weights are evaluated in f32 (the quadratic form
     # spans several orders of magnitude before the exp) and the tap
@@ -287,6 +354,32 @@ def merge_burst_raw_planes(
     res_y = jnp.clip(residual[..., 0], -residual_bound, residual_bound)
     res_x = jnp.clip(residual[..., 1], -residual_bound, residual_bound)
 
+    # order-1: PARITY-INTERPOLATED residuals. The residual field is a
+    # half-res estimate, constant per 2x2 Bayer block; each of the 2s
+    # output phase rows inside a block sits at RAW offset a + phi[py],
+    # i.e. half-res coordinate i + (a + phi[py] - 0.5) / 2 — the order-1
+    # displacement terms evaluate the flow THERE via a 2-tap bilinear
+    # blend of the residual field (exactly what the oracle's
+    # resize(flow, sh, sw, "bilinear") does per output pixel). Weights
+    # keep the block-center residual: WLS stays valid under any weights,
+    # and only d-accuracy moves the fit.
+    resY1 = [None] * (2 * s)
+    resX1 = [None] * (2 * s)
+    if order == 1:
+        for a in (0, 1):
+            for p in range(s):
+                g = (a + phi[p] - 0.5) / 2.0
+                ga = abs(float(g))
+                sgn = 1 if g > 0 else -1
+                resY1[a * s + p] = jnp.clip(
+                    (1.0 - ga) * res_y + ga * _shift_last2(res_y, sgn, 0),
+                    -residual_bound, residual_bound,
+                )
+                resX1[a * s + p] = jnp.clip(
+                    (1.0 - ga) * res_x + ga * _shift_last2(res_x, 0, sgn),
+                    -residual_bound, residual_bound,
+                )
+
     def quad(dx, dy, om):
         return jnp.exp(
             -0.5
@@ -297,79 +390,227 @@ def merge_burst_raw_planes(
             )
         ).astype(acc_dt)
 
-    # accumulators: [py][px][a][b][channel] -> (hh, hw) or None
-    acc_n = [[[[[None] * 3 for _ in range(2)] for _ in range(2)]
+    if order == 1:
+        stacks = _merge_planes_order1(
+            planes, certainty, res_y, res_x, resY1, resX1,
+            omega_inv, omega_inv_rb, pat, s, taps, phi, guide,
+            slots=moment_slots,
+        )
+    else:
+        # accumulators: [k][py][px][a][b][channel] -> (hh, hw) or None
+        acc = [
+            [[[[[None] * 3 for _ in range(2)] for _ in range(2)]
               for _ in range(s)] for _ in range(s)]
-    acc_d = [[[[[None] * 3 for _ in range(2)] for _ in range(2)]
-              for _ in range(s)] for _ in range(s)]
+            for _ in range(n_acc)
+        ]
+
+        def add(k, py, px, a, b, ch, term):
+            cell = acc[k][py][px][a][b]
+            cell[ch] = term if cell[ch] is None else cell[ch] + term
+
+        for ky, kx in taps:
+            u = (ky - res_y) * s  # (F, hh, hw)
+            v = (kx - res_x) * s
+            w_g = [[None] * s for _ in range(s)]
+            w_rb = [[None] * s for _ in range(s)]
+            for py in range(s):
+                for px in range(s):
+                    w_g[py][px] = quad(
+                        v - phi[px] * s, u - phi[py] * s, omega_inv
+                    )
+                    w_rb[py][px] = quad(
+                        v - phi[px] * s, u - phi[py] * s, omega_inv_rb
+                    )
+            for a in (0, 1):
+                qa, da = (a + ky) % 2, (a + ky) // 2
+                for b in (0, 1):
+                    qb, db = (b + kx) % 2, (b + kx) // 2
+                    ch = int(pat[qa][qb])
+                    src = planes[:, qa, qb]
+                    if guide is not None and ch != 1:
+                        src = src - guide[:, qa, qb]
+                    val = _shift_last2(src, da, db)
+                    cert_s = _shift_last2(certainty[..., ch], da, db)
+                    for py in range(s):
+                        for px in range(s):
+                            w = w_g[py][px] if ch == 1 else w_rb[py][px]
+                            wc = w * cert_s  # (F, hh, hw)
+                            add(0, py, px, a, b, ch, (wc * val).sum(0))
+                            add(1, py, px, a, b, ch, wc.sum(0))
+
+        zero = jnp.zeros((hh, hw), acc_dt)
+
+        def stack_phases(acc_k):
+            # -> CHANNEL-LEADING (2s, 2s, 3, hh, hw) with phase index
+            # (a*s + py, b*s + px): output row (2i+a)*s + py = (2s)*i +
+            # (a*s + py), the standard phase layout of the TOTAL
+            # upsampling factor 2s (interleave_phases_planes applies
+            # it). Channels ride a leading axis — a 3-minor axis would
+            # pad to 128 TPU lanes.
+            rows = []
+            for a in (0, 1):
+                for py in range(s):
+                    cols = []
+                    for b in (0, 1):
+                        for px in range(s):
+                            cols.append(
+                                jnp.stack(
+                                    [c if c is not None else zero
+                                     for c in acc_k[py][px][a][b]],
+                                    axis=0,
+                                )
+                            )
+                    rows.append(jnp.stack(cols, 0))
+            return jnp.stack(rows, 0)  # (2s, 2s, 3, hh, hw)
+
+        stacks = tuple(
+            stack_phases(acc[k]).astype(jnp.float32) for k in range(n_acc)
+        )
+    if phase_output:
+        return stacks
+
+    from multi_frame_super_resolution_tpu.ops.warp_fast import (
+        interleave_phases_planes,
+    )
+
+    return tuple(interleave_phases_planes(p) for p in stacks)
+
+
+def _merge_planes_order1(
+    planes, certainty, res_y, res_x, resY1, resX1,
+    omega_inv, omega_inv_rb, pat, s, taps, phi, guide,
+    slots: int = 9,
+):
+    """Stacked-phase rho-fold accumulation for the order-1 plane merge.
+
+    Two structural optimizations over the direct moment form (which
+    multiplied every tap by per-phase displacement FIELDS — ~11.6k HLO
+    ops at s=2, 88 s XLA:CPU compile):
+
+      * the s^2 output phases ride ONE leading array axis, so each tap
+        is a handful of ops on (s^2, F, hh, hw) arrays instead of s^2
+        Python-unrolled op sets;
+      * the frame axis DIES inside each tap: with
+        dy = s*(ky - rho_y), rho_y = res'_y + phi_y constant across
+        taps, each tap's nine moment contributions are products of at
+        most two displacement fields with w*c (or w*c*v), reduced over
+        F immediately. The persistent accumulators are 9 x
+        (s^2, hh, hw) per CFA cell instead of 9 x (s^2, F, hh, hw)
+        (the round-4 S-moment form kept the frame axis live across the
+        whole tap loop: ~5x the accumulator HBM traffic, 3.06 ms vs
+        0.73 ms order-0 on v5e at city size).
+        rho uses the PARITY-INTERPOLATED residual (resY1/resX1), i.e.
+        the oracle's bilinear per-output-pixel flow; the weights keep
+        the block-center residual (WLS is valid under any weights).
+
+    Returns the 9 stacks (m00, m01, m02, m11, m12, m22, b0, b1, b2),
+    each (2s, 2s, 3, hh, hw), in models.merge.solve_order1 order — or,
+    with ``slots=4``, only (m00, m01, m02, b0): all the plugin-gradient
+    solver consumes (merge.solve_plugin), at ~half the accumulate
+    volume.
+    """
+    f = planes.shape[0]
+    hh, hw = planes.shape[-2], planes.shape[-1]
+    nph = s * s
+    phi_y = np.repeat(phi, s)  # (nph,) phase row offset, ph = py*s + px
+    phi_x = np.tile(phi, s)
+    phiy_b = jnp.asarray(phi_y * s, jnp.float32).reshape(nph, 1, 1, 1)
+    phix_b = jnp.asarray(phi_x * s, jnp.float32).reshape(nph, 1, 1, 1)
+
+    def quadp(dx, dy, om):
+        # om: (hh, hw, 3) broadcasting against (nph, F, hh, hw)
+        return jnp.exp(
+            -0.5
+            * (
+                dx * dx * om[..., 0]
+                + dy * dy * om[..., 1]
+                + 2.0 * dx * dy * om[..., 2]
+            )
+        )
+
+    # per-(a, phase-row) query offsets rho (RAW units), (nph, F, hh, hw)
+    def rho_stack(res1, base, offs, tile_axis):
+        # rows: index a*s + p ordered over p; expand to nph by px/py
+        fields = [res1[base * s + p] + float(offs[p]) for p in range(s)]
+        st = jnp.stack(fields, 0)  # (s, F, hh, hw)
+        if tile_axis == "y":  # phase index ph = py*s + px -> repeat rows
+            return jnp.repeat(st, s, axis=0)
+        return jnp.tile(st, (s, 1, 1, 1))
+
+    rho_y = {a: rho_stack(resY1, a, phi, "y") for a in (0, 1)}
+    rho_x = {b: rho_stack(resX1, b, phi, "x") for b in (0, 1)}
+    sf = float(s)
+
+    # m-moment accumulators per [a][b][ch]: `slots` slots of
+    # (nph, hh, hw) — solve_order1 order (m00, m01, m02, m11, m12, m22,
+    # b0, b1, b2), or the solve_plugin subset (m00, m01, m02, b0)
+    m_cells = [[[[None] * slots for _ in range(3)] for _ in range(2)]
+               for _ in range(2)]
 
     for ky, kx in taps:
-        u = (ky - res_y) * s  # (F, hh, hw)
+        u = (ky - res_y) * s  # (F, hh, hw), block-center weights
         v = (kx - res_x) * s
-        w_g = [[None] * s for _ in range(s)]
-        w_rb = [[None] * s for _ in range(s)]
-        for py in range(s):
-            dy = u - phi[py] * s
-            for px in range(s):
-                dx = v - phi[px] * s
-                w_g[py][px] = quad(dx, dy, omega_inv)
-                w_rb[py][px] = quad(dx, dy, omega_inv_rb)
+        dy_w = u[None] - phiy_b  # (nph, F, hh, hw)
+        dx_w = v[None] - phix_b
+        w_g = quadp(dx_w, dy_w, omega_inv)
+        w_rb = quadp(dx_w, dy_w, omega_inv_rb)
+        # query-point displacements, shared across b / a respectively
+        dy_m = {a: sf * (float(ky) - rho_y[a]) for a in (0, 1)}
+        dx_m = {b: sf * (float(kx) - rho_x[b]) for b in (0, 1)}
         for a in (0, 1):
             qa, da = (a + ky) % 2, (a + ky) // 2
+            dy = dy_m[a]
             for b in (0, 1):
                 qb, db = (b + kx) % 2, (b + kx) // 2
+                dx = dx_m[b]
                 ch = int(pat[qa][qb])
                 src = planes[:, qa, qb]
                 if guide is not None and ch != 1:
                     src = src - guide[:, qa, qb]
                 val = _shift_last2(src, da, db)
                 cert_s = _shift_last2(certainty[..., ch], da, db)
-                for py in range(s):
-                    for px in range(s):
-                        w = w_g[py][px] if ch == 1 else w_rb[py][px]
-                        cw = (w * cert_s).sum(0)  # fold frames
-                        nterm = (w * cert_s * val).sum(0)
-                        if acc_n[py][px][a][b][ch] is None:
-                            acc_n[py][px][a][b][ch] = nterm
-                            acc_d[py][px][a][b][ch] = cw
-                        else:
-                            acc_n[py][px][a][b][ch] += nterm
-                            acc_d[py][px][a][b][ch] += cw
+                w = w_g if ch == 1 else w_rb
+                wc = w * cert_s[None]
+                wcv = wc * val[None]
+                dywc = dy * wc
+                dxwc = dx * wc
+                cell = m_cells[a][b][ch]
+                if slots == 4:
+                    terms = (wc, dywc, dxwc, wcv)
+                else:
+                    terms = (
+                        wc, dywc, dxwc, dy * dywc, dx * dywc, dx * dxwc,
+                        wcv, dy * wcv, dx * wcv,
+                    )
+                for i, term in enumerate(terms):
+                    red = term.sum(1)  # frame axis dies here
+                    cell[i] = red if cell[i] is None else cell[i] + red
 
-    zero = jnp.zeros((hh, hw), acc_dt)
+    zero = jnp.zeros((hh, hw), jnp.float32)
 
-    def stack_phases(acc):
-        # -> CHANNEL-LEADING (2s, 2s, 3, hh, hw) with phase index
-        # (a*s + py, b*s + px): output row (2i+a)*s + py = (2s)*i +
-        # (a*s + py), the standard phase layout of the TOTAL upsampling
-        # factor 2s (interleave_phases_planes applies it). Channels ride
-        # a leading axis — a 3-minor axis would pad to 128 TPU lanes.
+    def stack_m(k):
         rows = []
         for a in (0, 1):
             for py in range(s):
                 cols = []
                 for b in (0, 1):
                     for px in range(s):
+                        ph = py * s + px
                         cols.append(
                             jnp.stack(
-                                [c if c is not None else zero
-                                 for c in acc[py][px][a][b]],
+                                [
+                                    m_cells[a][b][ch][k][ph]
+                                    if m_cells[a][b][ch][k] is not None
+                                    else zero
+                                    for ch in range(3)
+                                ],
                                 axis=0,
                             )
                         )
                 rows.append(jnp.stack(cols, 0))
         return jnp.stack(rows, 0)  # (2s, 2s, 3, hh, hw)
 
-    num_p = stack_phases(acc_n).astype(jnp.float32)
-    den_p = stack_phases(acc_d).astype(jnp.float32)
-    if phase_output:
-        return num_p, den_p
-
-    from multi_frame_super_resolution_tpu.ops.warp_fast import (
-        interleave_phases_planes,
-    )
-
-    return interleave_phases_planes(num_p), interleave_phases_planes(den_p)
+    return tuple(stack_m(k) for k in range(slots))
 
 
 def raw_to_planes(raw: jnp.ndarray) -> jnp.ndarray:

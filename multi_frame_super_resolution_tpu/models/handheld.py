@@ -23,10 +23,14 @@ import jax.numpy as jnp
 from multi_frame_super_resolution_tpu.config import HandheldConfig
 from multi_frame_super_resolution_tpu.models.merge import (
     apply_weighting,
+    apply_weighting_order1,
     kernel_params,
+    grad_image,
     merge_burst_raw,
     merge_burst_rgb,
     smoothed_structure_tensor,
+    solve_order1,
+    solve_plugin,
 )
 from multi_frame_super_resolution_tpu.models.robustness import robustness_mask
 from multi_frame_super_resolution_tpu.ops.color import rgb_to_gray, srgb_gamma
@@ -38,6 +42,16 @@ from multi_frame_super_resolution_tpu.registration.align import (
     flow_from_tile_shifts,
 )
 from multi_frame_super_resolution_tpu.registration.lucas_kanade import lk_refine
+
+
+def _o1_solve(moments, cfg, grad_fn):
+    """MergeConfig.solver dispatch for the order-1 merge: the exact 3x3
+    normal-equation solve, or the plugin-gradient centroid-bias
+    correction (merge.solve_plugin) whose gradient comes from the pilot
+    image in the caller's own layout (grad_image / grad_phases)."""
+    if cfg.merge.solver == "plugin":
+        return solve_plugin(moments, grad_fn, cfg.merge.plugin_iters)
+    return solve_order1(moments, cfg.merge.ridge)
 
 
 def _burst_flows(
@@ -119,11 +133,25 @@ def handheld_superres(
     st = smoothed_structure_tensor(gray[0], cfg.st_window)
     omega_inv = kernel_params(st, cfg.merge)
 
-    num, den = merge_burst_rgb(
-        burst, flows, cert, omega_inv, cfg.scale, cfg.merge.radius
-    )
     fallback = upscale(burst[0], cfg.scale, "bicubic")
-    out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
+    if cfg.merge.order == 1:
+        moments = merge_burst_rgb(
+            burst, flows, cert, omega_inv, cfg.scale, cfg.merge.radius,
+            order=1,
+        )
+        est, m00 = _o1_solve(moments, cfg, grad_image)
+        out = apply_weighting_order1(
+            est, m00, fallback, cfg.merge.weight_threshold
+        )
+    else:
+        num, den = merge_burst_rgb(
+            burst, flows, cert, omega_inv, cfg.scale, cfg.merge.radius
+        )
+        out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
+    if cfg.final_restore and cfg.scale == 2:
+        from multi_frame_super_resolution_tpu.ops.restore import restore_image
+
+        out = restore_image(out)
     if cfg.gamma:
         out = srgb_gamma(out)
     return jnp.clip(out, 0.0, 1.0)
@@ -137,7 +165,10 @@ def _handheld_fast(
     kernel-regression merge (models/fast_merge.py)."""
     import dataclasses
 
-    from multi_frame_super_resolution_tpu.models.fast_merge import merge_burst_fast
+    from multi_frame_super_resolution_tpu.models.fast_merge import (
+        grad_phases,
+        merge_burst_fast,
+    )
     from multi_frame_super_resolution_tpu.ops.warp_fast import (
         tile_shift_decompose,
         tile_warp_select,
@@ -277,13 +308,34 @@ def _handheld_fast(
             upsample_int_phases_planes,
         )
 
-        num_p, den_p = merge_burst_fast(
-            warped, res_flow, cert, omega_inv, cfg.scale, cfg.merge.radius,
-            cfg.residual_bound, k_max=cfg.merge.k_max, phase_output=True,
-            bf16=cfg.merge.bf16,
-        )
         fallback_p = upsample_int_phases_planes(burst[0], cfg.scale, "bicubic")
-        out_p = apply_weighting(num_p, den_p, fallback_p, cfg.merge.weight_threshold)
+        if cfg.merge.order == 1:
+            moments_p = merge_burst_fast(
+                warped, res_flow, cert, omega_inv, cfg.scale,
+                cfg.merge.radius, cfg.residual_bound, k_max=cfg.merge.k_max,
+                phase_output=True, order=1, prune_exp=cfg.merge.prune_exp,
+                moment_slots=4 if cfg.merge.solver == "plugin" else 9,
+            )
+            est_p, m00_p = _o1_solve(moments_p, cfg, grad_phases)
+            out_p = apply_weighting_order1(
+                est_p, m00_p, fallback_p, cfg.merge.weight_threshold
+            )
+        else:
+            num_p, den_p = merge_burst_fast(
+                warped, res_flow, cert, omega_inv, cfg.scale,
+                cfg.merge.radius, cfg.residual_bound, k_max=cfg.merge.k_max,
+                phase_output=True, bf16=cfg.merge.bf16,
+                prune_exp=cfg.merge.prune_exp,
+            )
+            out_p = apply_weighting(
+                num_p, den_p, fallback_p, cfg.merge.weight_threshold
+            )
+        if cfg.final_restore and cfg.scale == 2:
+            from multi_frame_super_resolution_tpu.ops.restore import (
+                restore_phases,
+            )
+
+            out_p = restore_phases(out_p)
         out = interleave_phases_planes_mxu(out_p, precision="high")
     if cfg.gamma:
         out = srgb_gamma(out)
@@ -352,12 +404,26 @@ def handheld_superres_raw(
 
     flows_raw = jax.vmap(lambda fl: resize(fl, h, w, "bilinear") * 2.0)(flows_half)
 
-    num, den = merge_burst_raw(
-        raw_burst, flows_raw, cert, omega_inv, cfg.cfa_pattern, cfg.scale,
-        cfg.merge.radius,
-    )
     fallback = upscale(debayer(raw_burst[0], cfg.cfa_pattern), cfg.scale, "bicubic")
-    out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
+    if cfg.merge.order == 1:
+        moments = merge_burst_raw(
+            raw_burst, flows_raw, cert, omega_inv, cfg.cfa_pattern,
+            cfg.scale, cfg.merge.radius, order=1,
+        )
+        est, m00 = _o1_solve(moments, cfg, grad_image)
+        out = apply_weighting_order1(
+            est, m00, fallback, cfg.merge.weight_threshold
+        )
+    else:
+        num, den = merge_burst_raw(
+            raw_burst, flows_raw, cert, omega_inv, cfg.cfa_pattern,
+            cfg.scale, cfg.merge.radius,
+        )
+        out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
+    if cfg.final_restore and cfg.scale == 2:
+        from multi_frame_super_resolution_tpu.ops.restore import restore_image
+
+        out = restore_image(out)
     if cfg.gamma:
         out = srgb_gamma(out)
     return jnp.clip(out, 0.0, 1.0)
@@ -394,6 +460,7 @@ def _handheld_raw_fast(
     import dataclasses
 
     from multi_frame_super_resolution_tpu.models.fast_merge import (
+        grad_phases,
         merge_burst_raw_planes,
         raw_to_planes,
     )
@@ -536,12 +603,6 @@ def _handheld_raw_fast(
         )
 
         guide = green_guide_planes(warped, cfg.cfa_pattern)
-        num_p, den_p = merge_burst_raw_planes(
-            warped, res_half * 2.0, cert_half, omega_half, omega_half_rb,
-            cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
-            residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
-            guide=guide, phase_output=True, bf16=cfg.merge.bf16,
-        )
         # channels 0/2 hold merged R-G / B-G; their fallback is the
         # fallback image's own color difference (channel axis = 2)
         fb_g = fallback_p[:, :, 1]
@@ -549,10 +610,43 @@ def _handheld_raw_fast(
             [fallback_p[:, :, 0] - fb_g, fb_g, fallback_p[:, :, 2] - fb_g],
             axis=2,
         )
-        merged = apply_weighting(num_p, den_p, fb, cfg.merge.weight_threshold)
+        if cfg.merge.order == 1:
+            moments_p = merge_burst_raw_planes(
+                warped, res_half * 2.0, cert_half, omega_half, omega_half_rb,
+                cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
+                residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
+                guide=guide, phase_output=True, order=1,
+                prune_exp=cfg.merge.prune_exp,
+                moment_slots=4 if cfg.merge.solver == "plugin" else 9,
+            )
+            est_p, m00_p = _o1_solve(moments_p, cfg, grad_phases)
+            merged = apply_weighting_order1(
+                est_p, m00_p, fb, cfg.merge.weight_threshold
+            )
+        else:
+            num_p, den_p = merge_burst_raw_planes(
+                warped, res_half * 2.0, cert_half, omega_half, omega_half_rb,
+                cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
+                residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
+                guide=guide, phase_output=True, bf16=cfg.merge.bf16,
+                prune_exp=cfg.merge.prune_exp,
+            )
+            merged = apply_weighting(num_p, den_p, fb, cfg.merge.weight_threshold)
         g = merged[:, :, 1]
         out_p = jnp.stack(
             [g + merged[:, :, 0], g, g + merged[:, :, 2]], axis=2
+        )
+    elif cfg.merge.order == 1:
+        moments_p = merge_burst_raw_planes(
+            warped, res_half * 2.0, cert_half, omega_half, omega_half_rb,
+            cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
+            residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
+            phase_output=True, order=1, prune_exp=cfg.merge.prune_exp,
+            moment_slots=4 if cfg.merge.solver == "plugin" else 9,
+        )
+        est_p, m00_p = _o1_solve(moments_p, cfg, grad_phases)
+        out_p = apply_weighting_order1(
+            est_p, m00_p, fallback_p, cfg.merge.weight_threshold
         )
     else:
         num_p, den_p = merge_burst_raw_planes(
@@ -560,8 +654,13 @@ def _handheld_raw_fast(
             cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
             residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
             phase_output=True, bf16=cfg.merge.bf16,
+            prune_exp=cfg.merge.prune_exp,
         )
         out_p = apply_weighting(num_p, den_p, fallback_p, cfg.merge.weight_threshold)
+    if cfg.final_restore and cfg.scale == 2:
+        from multi_frame_super_resolution_tpu.ops.restore import restore_phases
+
+        out_p = restore_phases(out_p)
     if cfg.gamma:
         out_p = srgb_gamma(out_p)
     # MXU scatter-matmul interleave: XLA's transpose+reshape lowering of

@@ -17,6 +17,19 @@ use only the integer tap offsets, DeBayerKernels.cu:335), the weight uses
 the true subpixel displacement d = sample_pos - target_pos, which is what
 the underlying method prescribes and reduces to the reference's behavior
 for integer-aligned shifts.
+
+FIRST-ORDER regression (``order=1``, round 4): the reference's merge is a
+zeroth-order (Nadaraya-Watson) weighted average, whose estimate lands at
+the samples' weighted CENTROID rather than the query pixel — at 5-frame
+CFA sample density this injects gradient-proportional high-frequency
+error that capped true-HR fidelity at ~26.8 dB even with PERFECT flows
+(tools/eval_gt_flow.py, round-4 diagnostic; high-band error RMS 0.035 vs
+low-band 0.022). order=1 fits value + gradient per output pixel (local
+linear kernel regression, Takeda et al. IEEE TIP 2007) and evaluates at
+the query point, removing centroid bias exactly to first order:
++0.6 dB true-HR fidelity at equal flows (27.3 vs 26.7 dB). The merges
+then return 9 moment planes (sum w * {1, dy, dx, dy^2, dy dx, dx^2} and
+sum w v * {1, dy, dx}) consumed by ``solve_order1``.
 """
 
 from __future__ import annotations
@@ -97,14 +110,16 @@ def merge_burst_rgb(
     omega_inv: jnp.ndarray,
     scale: int,
     radius: int = 2,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    order: int = 0,
+) -> Tuple[jnp.ndarray, ...]:
     """Kernel-regression merge of an RGB burst onto a scale-x output grid.
 
     burst: (F, H, W, 3); flows: (F, H, W, 2) in input pixel units with the
     alignment convention frame_f(x + flow_f(x)) ~= ref(x);
     certainty: (F, H, W, 3); omega_inv: (H, W, 3).
-    Returns (num, den), each (sH, sW, 3); out = num/den after
-    apply_weighting.
+    order=0: returns (num, den), each (sH, sW, 3); out = num/den after
+    apply_weighting. order=1: returns the 9 local-linear moment planes
+    consumed by solve_order1.
     """
     f, h, w = burst.shape[:3]
     sh, sw = h * scale, w * scale
@@ -116,15 +131,16 @@ def merge_burst_rgb(
     px = jnp.broadcast_to(px[None, :], (sh, sw))
 
     omega_out = resize(omega_inv, sh, sw, "bilinear")
+    n_acc = 9 if order == 1 else 2
 
     def accumulate_frame(carry, frame_data):
-        num, den = carry
         frame, flow, cert = frame_data
         flow_out = resize(flow, sh, sw, "bilinear")
         qy = py + flow_out[..., 0]
         qx = px + flow_out[..., 1]
         ny = jnp.round(qy).astype(jnp.int32)
         nx = jnp.round(qx).astype(jnp.int32)
+        acc = list(carry)
         for oy in range(-radius, radius + 1):
             for ox in range(-radius, radius + 1):
                 ry = ny + oy
@@ -132,22 +148,35 @@ def merge_burst_rgb(
                 # displacements in OUTPUT-grid units, as in
                 # accumulateImagesSuperRes (its tap offsets are output
                 # pixel steps, DeBayerKernels.cu:410-427)
-                wgt = _tap_weight(
-                    (ry.astype(jnp.float32) - qy) * scale,
-                    (rx.astype(jnp.float32) - qx) * scale,
-                    omega_out,
-                )
+                dy = (ry.astype(jnp.float32) - qy) * scale
+                dx = (rx.astype(jnp.float32) - qx) * scale
+                wgt = _tap_weight(dy, dx, omega_out)
                 vals = _gather2(frame, ry, rx)
                 cert_s = _gather2(cert, ry, rx)
                 cw = wgt[..., None] * cert_s
-                num = num + vals * cw
-                den = den + cw
-        return (num, den), None
+                cwv = vals * cw
+                if order == 0:
+                    acc[0] = acc[0] + cwv
+                    acc[1] = acc[1] + cw
+                else:
+                    dye = dy[..., None]
+                    dxe = dx[..., None]
+                    acc[0] = acc[0] + cw
+                    acc[1] = acc[1] + cw * dye
+                    acc[2] = acc[2] + cw * dxe
+                    acc[3] = acc[3] + (cw * dye) * dye
+                    acc[4] = acc[4] + (cw * dye) * dxe
+                    acc[5] = acc[5] + (cw * dxe) * dxe
+                    acc[6] = acc[6] + cwv
+                    acc[7] = acc[7] + cwv * dye
+                    acc[8] = acc[8] + cwv * dxe
+        return tuple(acc), None
 
-    num0 = jnp.zeros((sh, sw, 3), jnp.float32)
-    den0 = jnp.zeros((sh, sw, 3), jnp.float32)
-    (num, den), _ = jax.lax.scan(accumulate_frame, (num0, den0), (burst, flows, certainty))
-    return num, den
+    acc0 = tuple(jnp.zeros((sh, sw, 3), jnp.float32) for _ in range(n_acc))
+    acc, _ = jax.lax.scan(accumulate_frame, acc0, (burst, flows, certainty))
+    if order == 0:
+        return acc[0], acc[1]
+    return acc
 
 
 def merge_burst_raw(
@@ -158,7 +187,8 @@ def merge_burst_raw(
     cfa: CFA,
     scale: int,
     radius: int = 2,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    order: int = 0,
+) -> Tuple[jnp.ndarray, ...]:
     """Kernel-regression merge of a Bayer RAW burst onto a scale-x grid —
     the accumulateImagesSuperRes equivalent (DeBayerKernels.cu:378-468).
 
@@ -166,6 +196,7 @@ def merge_burst_raw(
     flows: (F, H, W, 2) RAW pixel units; certainty: (F, H//2, W//2, 3)
     half-res RGB certainties; omega_inv: (H, W, 3) at RAW resolution.
     Each RAW sample contributes only to its own CFA channel.
+    order=1: returns the 9 local-linear moment planes for solve_order1.
     """
     f, h, w = raw_burst.shape
     sh, sw = h * scale, w * scale
@@ -178,40 +209,147 @@ def merge_burst_raw(
     omega_out = resize(omega_inv, sh, sw, "bilinear")
     chan = jnp.asarray(cfa_channel_map(h, w, cfa))
     eye3 = jnp.eye(3, dtype=jnp.float32)
+    n_acc = 9 if order == 1 else 2
 
     def accumulate_frame(carry, frame_data):
-        num, den = carry
         raw, flow, cert = frame_data
         flow_out = resize(flow, sh, sw, "bilinear")
         qy = py + flow_out[..., 0]
         qx = px + flow_out[..., 1]
         ny = jnp.round(qy).astype(jnp.int32)
         nx = jnp.round(qx).astype(jnp.int32)
+        acc = list(carry)
         for oy in range(-radius, radius + 1):
             for ox in range(-radius, radius + 1):
                 ry = jnp.clip(ny + oy, 0, h - 1)
                 rx = jnp.clip(nx + ox, 0, w - 1)
-                wgt = _tap_weight(
-                    (ry.astype(jnp.float32) - qy) * scale,
-                    (rx.astype(jnp.float32) - qx) * scale,
-                    omega_out,
-                )
+                dy = (ry.astype(jnp.float32) - qy) * scale
+                dx = (rx.astype(jnp.float32) - qx) * scale
+                wgt = _tap_weight(dy, dx, omega_out)
                 vals = raw[ry, rx]
                 ch = chan[ry, rx]  # CFA channel of each sample
                 cert_px = cert[ry // 2, rx // 2]  # (sh, sw, 3) half-res
                 cert_s = jnp.take_along_axis(cert_px, ch[..., None], axis=-1)[..., 0]
                 onehot = eye3[ch]  # (sh, sw, 3)
                 cw = (wgt * cert_s)[..., None] * onehot
-                num = num + vals[..., None] * cw
-                den = den + cw
-        return (num, den), None
+                cwv = vals[..., None] * cw
+                if order == 0:
+                    acc[0] = acc[0] + cwv
+                    acc[1] = acc[1] + cw
+                else:
+                    dye = dy[..., None]
+                    dxe = dx[..., None]
+                    acc[0] = acc[0] + cw
+                    acc[1] = acc[1] + cw * dye
+                    acc[2] = acc[2] + cw * dxe
+                    acc[3] = acc[3] + (cw * dye) * dye
+                    acc[4] = acc[4] + (cw * dye) * dxe
+                    acc[5] = acc[5] + (cw * dxe) * dxe
+                    acc[6] = acc[6] + cwv
+                    acc[7] = acc[7] + cwv * dye
+                    acc[8] = acc[8] + cwv * dxe
+        return tuple(acc), None
 
-    num0 = jnp.zeros((sh, sw, 3), jnp.float32)
-    den0 = jnp.zeros((sh, sw, 3), jnp.float32)
-    (num, den), _ = jax.lax.scan(
-        accumulate_frame, (num0, den0), (raw_burst, flows, certainty)
+    acc0 = tuple(jnp.zeros((sh, sw, 3), jnp.float32) for _ in range(n_acc))
+    acc, _ = jax.lax.scan(
+        accumulate_frame, acc0, (raw_burst, flows, certainty)
     )
-    return num, den
+    if order == 0:
+        return acc[0], acc[1]
+    return acc
+
+
+def solve_order1(
+    moments: Tuple[jnp.ndarray, ...], ridge: float = 0.02
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Local-linear solve of the 9 moment planes -> (estimate, m00).
+
+    Per pixel/channel solves the weighted normal equations
+      [m00 m01 m02] [a ]   [b0]
+      [m01 m11 m12] [gy] = [b1]
+      [m02 m12 m22] [gx]   [b2]
+    via the adjugate and returns the value estimate ``a`` (the gradient
+    is discarded). ``ridge`` * m00 is added to the gradient diagonal —
+    density-invariant Tikhonov regularization that shrinks toward the
+    order-0 average when the sample spread is poor (calibrated on
+    true-HR fidelity: 0.01-0.05 within 0.03 dB, tools/proto_order1.py).
+    Falls back to the order-0 estimate b0/m00 where the system is
+    near-singular. m00 (the plain weight sum) doubles as the coverage
+    field for apply_weighting_order1."""
+    m00, m01, m02, m11, m12, m22, b0, b1, b2 = moments
+    m11 = m11 + ridge * m00
+    m22 = m22 + ridge * m00
+    c00 = m11 * m22 - m12 * m12
+    c01 = m02 * m12 - m01 * m22
+    c02 = m01 * m12 - m02 * m11
+    det = m00 * c00 + m01 * c01 + m02 * c02
+    a_num = c00 * b0 + c01 * b1 + c02 * b2
+    order0 = jnp.where(m00 > 1e-8, b0 / jnp.maximum(m00, 1e-8), 0.0)
+    good = jnp.abs(det) > 1e-6 * jnp.maximum(m00, 1e-8) ** 3
+    est = jnp.where(good, a_num / jnp.where(good, det, 1.0), order0)
+    return est, m00
+
+
+def grad_image(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Central-difference gradient along the two LEADING spatial axes
+    (oracle output layout (sH, sW, C)), edge-clamped, output-px units."""
+    up = jnp.concatenate([img[:1], img[:-1]], axis=0)
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    left = jnp.concatenate([img[:, :1], img[:, :-1]], axis=1)
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    return 0.5 * (down - up), 0.5 * (right - left)
+
+
+def solve_plugin(
+    moments: Tuple[jnp.ndarray, ...],
+    grad_fn,
+    iters: int = 2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """First-order centroid-bias correction with a PLUGIN gradient.
+
+    The order-0 (Nadaraya-Watson) estimate lands at the samples' weighted
+    centroid rather than the query pixel: pilot = b0/m00 estimates the
+    signal at query + c, c = (m01, m02)/m00 (the weighted mean
+    displacement). To first order f(query) = pilot - grad f . c — the
+    same bias the exact order-1 solve removes, but with the gradient
+    taken from the PILOT image instead of jointly fitted, so only FOUR
+    moment stacks (m00, m01, m02, b0) are accumulated: ~2x the order-0
+    merge volume instead of 4.5x (the full 9-moment accumulate measured
+    1.9 ms extra on v5e at city size — the fast path's budget is <0.5).
+    Iterating re-evaluates the gradient on the corrected estimate
+    (fixed-point of est = pilot - grad(est) . c; |c| < 1 px makes it a
+    contraction). Accepts the full 9-stack tuple (uses slots 0, 1, 2, 6)
+    or the compact 4-stack (m00, m01, m02, b0).
+
+    grad_fn(img) -> (gy, gx) must return central differences in OUTPUT
+    pixel units in the estimate's own layout (grad_image /
+    fast_merge.grad_phases)."""
+    m00, m01, m02 = moments[0], moments[1], moments[2]
+    b0 = moments[6] if len(moments) == 9 else moments[3]
+    ok = m00 > 1e-8
+    inv = jnp.where(ok, 1.0 / jnp.maximum(m00, 1e-8), 0.0)
+    pilot = b0 * inv
+    cy = m01 * inv
+    cx = m02 * inv
+    est = pilot
+    for _ in range(max(iters, 0)):
+        gy, gx = grad_fn(est)
+        est = pilot - (gy * cy + gx * cx)
+    return est, m00
+
+
+def apply_weighting_order1(
+    est: jnp.ndarray,
+    m00: jnp.ndarray,
+    fallback: jnp.ndarray,
+    threshold: float,
+) -> jnp.ndarray:
+    """ApplyWeighting for the order-1 estimate (already normalized):
+    below-threshold coverage blends toward the fallback with the same
+    soft weight-proportional mix as apply_weighting (kernel.cu:425-481),
+    out = (est * m00 + fallback) / (m00 + 1)."""
+    low = m00 < threshold
+    return jnp.where(low, (est * m00 + fallback) / (m00 + 1.0), est)
 
 
 def apply_weighting(

@@ -1,0 +1,145 @@
+"""Post-merge restoration filter (round 4).
+
+The merge reconstructs the box-prefiltered HR field accurately but
+cannot undo the sampling prefilter itself (2x2 sensor box + warp
+interpolation + merge kernel): on the true-HR synthetic protocol the
+no-deconvolution ceiling is PSNR(HR, box2*HR) = 31.0 dB while the
+order-1 merge reaches ~30.3 dB vs box2*HR. This module applies a FIXED
+7x7 FIR fitted by tools/fit_restore.py: a radially-binned Wiener gain
+g(w) = <HR.S*>/<|S|^2> computed on a calibration burst (city, seed 7),
+inverse-transformed and DC-normalized. Measured transfer on held-out
+bursts: city seed19 +0.58 dB, car-scene burst +0.97 dB, calib +0.54 dB;
+noisy-HR iso burst -0.19 dB (sharpening vs noise tradeoff — disable via
+HandheldConfig.final_restore for very noisy inputs).
+
+The reference pipeline also sharpens its SR output unconditionally
+(sharpenImg2 Laplacian after BTVL1, multi_frame_sr.cpp:207-209;
+fourierFilter radial boost in the latent pipeline, kernel.cu:792-869) —
+this is that stage, calibrated against ground truth instead of
+hand-tuned.
+
+Layout: `restore_phases` applies the filter POLYPHASE on the
+channel-leading phase planes (n, n, C, H, W) so it fuses into the merge
+finalize before the single interleave; each (output-phase, tap) pair is
+a static shift x scalar multiply on a (C, H, W) plane — pure VPU math,
+no relayouts. `restore_image` is the output-resolution oracle form.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# fit by tools/fit_restore.py on the order-1 fast RAW pipeline output
+# (city burst, seed 7, 2x); DC-normalized, 4-fold symmetric
+RESTORE_KERNEL = np.array([
+    [0.004845, -0.028202, -0.016631, -0.007837, -0.016631, -0.028202, 0.004845],
+    [-0.028286, -0.001758, -0.025565, -0.048270, -0.025565, -0.001758, -0.028286],
+    [-0.016577, -0.025510, 0.010336, 0.234416, 0.010336, -0.025510, -0.016577],
+    [-0.007857, -0.048323, 0.234462, 0.796216, 0.234462, -0.048323, -0.007857],
+    [-0.016577, -0.025510, 0.010336, 0.234416, 0.010336, -0.025510, -0.016577],
+    [-0.028286, -0.001758, -0.025565, -0.048270, -0.025565, -0.001758, -0.028286],
+    [0.004845, -0.028202, -0.016631, -0.007837, -0.016631, -0.028202, 0.004845],
+], dtype=np.float32)
+
+
+def _shift_last2(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Edge-clamped static shift of the last two axes."""
+    h, w = img.shape[-2], img.shape[-1]
+    pad = max(abs(dy), abs(dx), 1)
+    pads = ((0, 0),) * (img.ndim - 2) + ((pad, pad), (pad, pad))
+    xp = jnp.pad(img, pads, mode="edge")
+    return xp[..., pad + dy : pad + dy + h, pad + dx : pad + dx + w]
+
+
+def restore_image(img: jnp.ndarray, kernel: np.ndarray | None = None) -> jnp.ndarray:
+    """Apply the restoration FIR at output resolution.
+
+    img: (H, W, C) or (H, W). Channel-minor entry is fine here — the
+    shifts ride the leading two axes after a moveaxis; used by the
+    oracle (gather-based) pipelines where layout is not the bottleneck.
+    out[y, x] = sum_uv k[u, v] * img[y - u + r, x - v + r].
+    """
+    k = RESTORE_KERNEL if kernel is None else kernel
+    kh, kw = k.shape
+    r_y, r_x = kh // 2, kw // 2
+    chan = img.ndim == 3
+    x = jnp.moveaxis(img, -1, 0) if chan else img
+    out = None
+    for u in range(kh):
+        for v in range(kw):
+            c = float(k[u, v])
+            if c == 0.0:
+                continue
+            # true convolution (matches the scipy validation in
+            # tools/fit_restore.py; the fitted kernel is symmetric, so
+            # correlation would coincide — keep the exact form anyway)
+            term = _shift_last2(x, r_y - u, r_x - v) * c
+            out = term if out is None else out + term
+    return jnp.moveaxis(out, 0, -1) if chan else out
+
+
+def restore_phases(planes: jnp.ndarray, kernel: np.ndarray | None = None) -> jnp.ndarray:
+    """Polyphase restoration on channel-leading phase planes.
+
+    planes: (n, n, C, H, W) where n is the total upsampling factor and
+    plane (p, q) holds output pixels (n*i + p, n*j + q). Equivalent to
+    interleave -> restore_image -> de-interleave (up to the border
+    rows/cols, where the edge clamp acts per-plane, i.e. replicates
+    whole n-pixel blocks instead of single output pixels).
+
+    Lowered as scalar-coefficient SLICES of one padded phase stack:
+    out_p = sum_{q,m} W[p,q,m] * xpad[q, i+m] (the phase-pair tap table
+    `_polyphase_conv_kernel`). Each term is a static slice x scalar FMA
+    that XLA fuses into a few VPU passes — measured 0.14 ms vs 0.30 ms
+    for the equivalent 16->16-channel conv_general_dilated at city size
+    (the conv also ran its contraction at default (bf16) matmul
+    precision: 4e-3 max abs deviation; the slice form is exact f32).
+    An earlier per-tap _shift_last2 unroll (pad per tap) was what took
+    XLA minutes to fuse — the single shared pad is what makes this form
+    compile fast, not the op count.
+    """
+    k = RESTORE_KERNEL if kernel is None else kernel
+    n, _, c, h, w = planes.shape
+    wk, m_rad = _polyphase_conv_kernel(np.asarray(k, np.float32), n)
+    # edge-clamped halo mirrors _shift_last2's replicate border
+    xpad = jnp.pad(
+        planes.reshape(n * n, c, h, w),
+        ((0, 0), (0, 0), (m_rad, m_rad), (m_rad, m_rad)),
+        mode="edge",
+    )
+    outs = []
+    for p in range(n * n):
+        acc = None
+        for q in range(n * n):
+            for my in range(2 * m_rad + 1):
+                for mx in range(2 * m_rad + 1):
+                    coef = float(wk[p, q, my, mx])
+                    if coef == 0.0:
+                        continue
+                    term = coef * xpad[q, :, my : my + h, mx : mx + w]
+                    acc = term if acc is None else acc + term
+        outs.append(acc)
+    return jnp.stack(outs, 0).reshape(n, n, c, h, w)
+
+
+def _polyphase_conv_kernel(k: np.ndarray, n: int):
+    """Dense polyphase conv kernel for total upsampling factor n:
+    W[p, q, m] such that out_p[i] = sum_q sum_m W[p,q,m] plane_q[i+m].
+    Shape (n^2 out-phase, n^2 in-phase, mk, mk), phase index p = py*n+px;
+    the spatial index m is offset by +m_rad (W[..., m + m_rad])."""
+    kh = k.shape[0]
+    r = kh // 2
+    m_rad = (r + n - 1) // n
+    mk = 2 * m_rad + 1
+    w = np.zeros((n * n, n * n, mk, mk), np.float32)
+    for py in range(n):
+        for px in range(n):
+            for ty in range(-r, r + 1):
+                qy, my = (py - ty) % n, (py - ty) // n
+                for tx in range(-r, r + 1):
+                    qx, mx = (px - tx) % n, (px - tx) // n
+                    w[py * n + px, qy * n + qx, my + m_rad, mx + m_rad] += (
+                        k[ty + r, tx + r]
+                    )
+    return w, m_rad

@@ -122,11 +122,19 @@ def pipeline_halo(cfg, warp_bound: int = 16, prealign_px: int = 0) -> int:
     import numpy as np
 
     t = cfg.align.tile_size
+    # post-merge restoration FIR (ops/restore.py): radius 3 at OUTPUT
+    # resolution -> ceil(3/scale) input rows of reach
+    restore_reach = (
+        int(np.ceil(3.0 / cfg.scale))
+        if (cfg.final_restore and cfg.scale == 2)
+        else 0
+    )
     reach = (
         warp_bound
         + 2 * cfg.lk.half_window + 2
         + cfg.merge.radius + int(np.ceil(cfg.residual_bound))
         + 5
+        + restore_reach
         + int(prealign_px)
     )
     return t * int(np.ceil(reach / t))

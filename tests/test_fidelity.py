@@ -8,16 +8,22 @@ crop-with-rotation recipe, main.cpp:1877-1913) by subpixel-shifting/
 rotating, 2x-downsampling and mosaicking each frame; the pipeline's 2x SR
 output is then compared against the HR ground truth directly.
 
-Floors (measured on CPU; CPU/TPU agree to ~0.05 dB):
+Floors (measured on CPU; CPU/TPU agree to ~0.05 dB). Round-4 values
+with the order-1 merge (MergeConfig.order), calibrated defaults
+(k_min_rb=0.25, smooth_residual) and the fitted restoration filter
+(HandheldConfig.final_restore):
   * demosaic+bicubic of frame 0 (single-frame baseline): 25.39 dB
-  * fast RAW pipeline, default config:  26.18 dB (shift+rot burst)
-  * oracle (fast=False) RAW pipeline:   26.65 dB
+  * fast RAW pipeline, default config:  27.39 dB (round 3: 26.18)
+  * oracle (fast=False) RAW pipeline:   27.92 dB (round 3: 26.65)
 The fast path must beat the single-frame baseline by a clear margin
 (the whole point of burst SR) and stay within a pinned gap of the
 oracle — the honest stand-in for BASELINE.md's "PSNR within 0.1 dB of
 the CUDA reference" north star, with the CUDA reference unrunnable
-here. Current fast-vs-oracle gap ~0.5 dB (R/B kernel floor k_min_rb +
-half-res residual quantization); tighten GAP_DB as it closes.
+here. Remaining fast-vs-oracle gap 0.53 dB: the oracle re-rounds the
+dense flow per output pixel and evaluates weights at exact per-pixel
+displacements; the measured contributors left in the fast path are
+block-center WEIGHT evaluation and LK-on-warped-frames (residual
+smoothness and R/B kernel floors were closed this round).
 """
 
 import os
@@ -31,9 +37,10 @@ needs_reference = pytest.mark.skipif(
     not os.path.exists("/root/reference"), reason="reference data not mounted"
 )
 
-BASELINE_MARGIN_DB = 0.5   # fast must beat demosaic+bicubic by this much
-FAST_FLOOR_DB = 25.7       # measured 26.18 (<= 0.5 dB slack)
-GAP_DB = 0.75              # fast may trail the oracle by at most this
+BASELINE_MARGIN_DB = 1.8   # fast must beat demosaic+bicubic by this much
+FAST_FLOOR_DB = 27.2       # measured 27.39 (round-4 directive bar)
+GAP_DB = 0.6               # fast may trail the oracle by at most this
+#                            (measured 0.53; tighten as it closes)
 
 
 def _make_hr_burst(hr, num_frames=5, seed=7, max_shift_hr=3.0, max_rot=0.01):

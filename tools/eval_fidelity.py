@@ -29,9 +29,11 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def make_hr_burst(hr, num_frames=5, seed=7, max_shift_hr=3.0, max_rot=0.01):
+def make_hr_burst(hr, num_frames=5, seed=7, max_shift_hr=3.0, max_rot=0.01,
+                  rgb=False):
     """(HR rgb) -> mosaicked LR burst (F, H/2, W/2) + the (dy, dx, ang)
-    truth list (HR units, frame 0 unmoved)."""
+    truth list (HR units, frame 0 unmoved). rgb=True skips the mosaic
+    and returns LR RGB frames (F, H/2, W/2, 3) for the RGB pipeline."""
     import jax.numpy as jnp
 
     from multi_frame_super_resolution_tpu.data import mosaic_rggb
@@ -58,19 +60,20 @@ def make_hr_burst(hr, num_frames=5, seed=7, max_shift_hr=3.0, max_rot=0.01):
             axis=-1,
         )
         lr = np.asarray(downsample2(jnp.asarray(warped)))
-        frames.append(mosaic_rggb(lr))
+        frames.append(lr if rgb else mosaic_rggb(lr))
     return np.stack(frames), truth
 
 
 MERGE_KEYS = {
     "k_detail", "k_denoise", "k_stretch", "k_shrink", "d_th", "d_tr",
     "k_min", "k_max", "k_min_rb", "guided_rb", "weight_threshold",
-    "radius", "bf16",
+    "radius", "bf16", "order", "ridge", "prune_exp", "solver",
+    "plugin_iters",
 }
 ROBUST_KEYS = {"alpha", "beta", "threshold_m", "s", "t"}
 TOP_KEYS = {
     "fast", "residual_bound", "use_lk", "st_window", "smooth_residual",
-    "prealign", "scale", "half_align",
+    "prealign", "scale", "half_align", "final_restore",
 }
 ALIGN_KEYS = {"tile_size", "search_radius", "levels", "fine_radius"}
 LK_KEYS = {"half_window", "iterations"}
@@ -84,6 +87,10 @@ def parse_variant(tokens, base_cfg):
     for tok in tokens:
         if tok == "oracle":
             cfg = dataclasses.replace(cfg, fast=False)
+            parts.append(tok)
+            continue
+        if tok == "rgb":
+            meta["rgb"] = True
             parts.append(tok)
             continue
         if tok == "nocert":
@@ -161,7 +168,10 @@ def main():
 
     from multi_frame_super_resolution_tpu.config import AlignConfig, HandheldConfig
     from multi_frame_super_resolution_tpu.data import load_burst
-    from multi_frame_super_resolution_tpu.models import handheld_superres_raw
+    from multi_frame_super_resolution_tpu.models import (
+        handheld_superres,
+        handheld_superres_raw,
+    )
     from multi_frame_super_resolution_tpu.ops.debayer import debayer
     from multi_frame_super_resolution_tpu.ops.geometry import upscale
     from multi_frame_super_resolution_tpu.utils import psnr
@@ -201,10 +211,12 @@ def main():
 
     def get_burst(meta):
         key = (meta.get("seed", 7), meta.get("frames", 5),
-               meta.get("max_shift", 3.0), meta.get("max_rot", 0.01))
+               meta.get("max_shift", 3.0), meta.get("max_rot", 0.01),
+               meta.get("rgb", False))
         if key not in burst_cache:
             raw, _ = make_hr_burst(hr, num_frames=key[1], seed=key[0],
-                                   max_shift_hr=key[2], max_rot=key[3])
+                                   max_shift_hr=key[2], max_rot=key[3],
+                                   rgb=key[4])
             burst_cache[key] = jnp.asarray(raw)
         return burst_cache[key]
 
@@ -219,8 +231,11 @@ def main():
 
     for tokens in variant_lists:
         name, cfg, meta = parse_variant(tokens, base_cfg)
-        raw = get_burst(meta)
-        sr = jax.jit(lambda b, c=cfg: handheld_superres_raw(b, c))(raw)
+        burst = get_burst(meta)
+        if meta.get("rgb"):
+            sr = jax.jit(lambda b, c=cfg: handheld_superres(b, c))(burst)
+        else:
+            sr = jax.jit(lambda b, c=cfg: handheld_superres_raw(b, c))(burst)
         report(name, sr)
 
 

@@ -50,7 +50,11 @@ def main() -> None:
     pipeline = lambda b: handheld_superres_raw(b, cfg)  # noqa: E731
     burst_np = raw_np
 
-    k = int(os.environ.get("MFSR_BENCH_K", "6"))
+    # k-rep in-graph scan: the tunnel RTT carries ~±10 ms of scatter, so
+    # the scan must hold enough bursts that the per-burst signal
+    # dominates it — k=24 puts ~25 ms of real work behind one dispatch
+    # (round 4; k=6 gave a 0.2-1.5 ms/burst spread across reps)
+    k = int(os.environ.get("MFSR_BENCH_K", "24"))
     reps = int(os.environ.get("MFSR_BENCH_REPS", "4"))
 
     def make_rep(length):

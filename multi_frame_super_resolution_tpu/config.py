@@ -155,6 +155,13 @@ class MergeConfig:
     #       proto_order1.py). Default: the quality bar of the north star
     #       outranks reference behavioral parity (order=0 kept for it).
     order: int = 1
+    # merge order for the RGB-input pipeline (handheld_superres); None =
+    # follow ``order``. Measured round 4 (city true-HR, RGB synthetic
+    # burst): order 1 buys only +0.11 dB over order 0 there (29.97 vs
+    # 29.86 — the Wiener restore supplies the RGB gain, +1.5 dB) at ~2x
+    # merge volume and -3.5 dB self-consistency on the real bursts, so
+    # the RGB path keeps the Nadaraya-Watson merge by default.
+    rgb_order: int | None = 0
     # order-1 Tikhonov ridge on the gradient block, scaled by the local
     # weight sum (density-invariant). 0.01-0.05 measure within 0.03 dB;
     # larger values shrink toward the order-0 average.
@@ -170,6 +177,19 @@ class MergeConfig:
     #              measured (round 4)
     solver: str = "plugin"
     plugin_iters: int = 2
+    # order-1 fast RAW merge: evaluate the Gaussian weights at the same
+    # parity-interpolated per-pixel displacement as the moments (the
+    # oracle's convention) instead of the block-center approximation.
+    # 4 weight quads per tap instead of 2.
+    exact_weights: bool = False
+    # plugin solver: restrict the centroid moments (m01, m02) to the
+    # taps that survive this tighter prune threshold (None = all merge
+    # taps). The bias correction is a small smooth field; 1.0 keeps the
+    # inner 3x3 and cuts the centroid accumulate volume ~2.8x.
+    centroid_prune: float | None = None
+    # plugin solver: bf16 products (f32 reduces) for the centroid moment
+    # chain — ~0.4% relative on the already-small correction term.
+    centroid_bf16: bool = True
     # static tap pruning threshold: taps whose best-case Gaussian weight
     # is below e^-prune_exp are dropped at trace time (fast merges).
     # 6.0 reproduces the reference's 5x5 window at the order-0 defaults;

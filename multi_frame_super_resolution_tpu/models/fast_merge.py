@@ -222,16 +222,32 @@ def grad_phases(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     Plugin-gradient companion of models.merge.grad_image for the fast
     (phase-domain) pipelines."""
     n = x.shape[0]
-    prev_r = [x[r - 1] if r > 0 else _shift_last2(x[n - 1], -1, 0)
-              for r in range(n)]
-    next_r = [x[r + 1] if r < n - 1 else _shift_last2(x[0], 1, 0)
-              for r in range(n)]
-    gy = 0.5 * (jnp.stack(next_r, 0) - jnp.stack(prev_r, 0))
-    prev_c = [x[:, c - 1] if c > 0 else _shift_last2(x[:, n - 1], 0, -1)
-              for c in range(n)]
-    next_c = [x[:, c + 1] if c < n - 1 else _shift_last2(x[:, 0], 0, 1)
-              for c in range(n)]
-    gx = 0.5 * (jnp.stack(next_c, 1) - jnp.stack(prev_c, 1))
+    # one stack per gradient (differences built per phase slice) — the
+    # phase axes are MAJOR, so the slices are views and the subtraction
+    # fuses; stacking prev/next separately doubled the materialized
+    # traffic (~0.3 ms/iteration at city size before this form)
+    gy = jnp.stack(
+        [
+            0.5
+            * (
+                (x[r + 1] if r < n - 1 else _shift_last2(x[0], 1, 0))
+                - (x[r - 1] if r > 0 else _shift_last2(x[n - 1], -1, 0))
+            )
+            for r in range(n)
+        ],
+        axis=0,
+    )
+    gx = jnp.stack(
+        [
+            0.5
+            * (
+                (x[:, c + 1] if c < n - 1 else _shift_last2(x[:, 0], 0, 1))
+                - (x[:, c - 1] if c > 0 else _shift_last2(x[:, n - 1], 0, -1))
+            )
+            for c in range(n)
+        ],
+        axis=1,
+    )
     return gy, gx
 
 
@@ -299,6 +315,9 @@ def merge_burst_raw_planes(
     order: int = 0,
     prune_exp: float = 6.0,
     moment_slots: int = 9,
+    exact_weights: bool = False,
+    centroid_prune: float | None = None,
+    centroid_bf16: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """CFA-aware merge on half-resolution planes
     (accumulateImagesSuperRes equivalent, DeBayerKernels.cu:378-468).
@@ -394,7 +413,17 @@ def merge_burst_raw_planes(
         stacks = _merge_planes_order1(
             planes, certainty, res_y, res_x, resY1, resX1,
             omega_inv, omega_inv_rb, pat, s, taps, phi, guide,
-            slots=moment_slots,
+            slots=moment_slots, exact_weights=exact_weights,
+            centroid_bf16=centroid_bf16,
+            centroid_taps=(
+                None
+                if centroid_prune is None
+                else set(
+                    _active_taps(
+                        r_taps, residual_bound, s, k_max, centroid_prune
+                    )
+                )
+            ),
         )
     else:
         # accumulators: [k][py][px][a][b][channel] -> (hh, hw) or None
@@ -480,6 +509,9 @@ def _merge_planes_order1(
     planes, certainty, res_y, res_x, resY1, resX1,
     omega_inv, omega_inv_rb, pat, s, taps, phi, guide,
     slots: int = 9,
+    exact_weights: bool = False,
+    centroid_taps=None,
+    centroid_bf16: bool = False,
 ):
     """Stacked-phase rho-fold accumulation for the order-1 plane merge.
 
@@ -548,12 +580,13 @@ def _merge_planes_order1(
                for _ in range(2)]
 
     for ky, kx in taps:
-        u = (ky - res_y) * s  # (F, hh, hw), block-center weights
-        v = (kx - res_x) * s
-        dy_w = u[None] - phiy_b  # (nph, F, hh, hw)
-        dx_w = v[None] - phix_b
-        w_g = quadp(dx_w, dy_w, omega_inv)
-        w_rb = quadp(dx_w, dy_w, omega_inv_rb)
+        if not exact_weights:
+            u = (ky - res_y) * s  # (F, hh, hw), block-center weights
+            v = (kx - res_x) * s
+            dy_w = u[None] - phiy_b  # (nph, F, hh, hw)
+            dx_w = v[None] - phix_b
+            w_g = quadp(dx_w, dy_w, omega_inv)
+            w_rb = quadp(dx_w, dy_w, omega_inv_rb)
         # query-point displacements, shared across b / a respectively
         dy_m = {a: sf * (float(ky) - rho_y[a]) for a in (0, 1)}
         dx_m = {b: sf * (float(kx) - rho_x[b]) for b in (0, 1)}
@@ -569,12 +602,41 @@ def _merge_planes_order1(
                     src = src - guide[:, qa, qb]
                 val = _shift_last2(src, da, db)
                 cert_s = _shift_last2(certainty[..., ch], da, db)
-                w = w_g if ch == 1 else w_rb
+                if exact_weights:
+                    # weights at the SAME parity-interpolated per-pixel
+                    # displacement as the moments (the oracle evaluates
+                    # its Gaussian there); one quad per (a, b) — each
+                    # cell has a single channel, so this is 4 quads/tap
+                    # vs the block-center form's 2
+                    w = quadp(dx, dy, omega_inv if ch == 1 else omega_inv_rb)
+                else:
+                    w = w_g if ch == 1 else w_rb
                 wc = w * cert_s[None]
                 wcv = wc * val[None]
-                dywc = dy * wc
-                dxwc = dx * wc
                 cell = m_cells[a][b][ch]
+                if slots == 4 and centroid_taps is not None and (
+                    (ky, kx) not in centroid_taps
+                ):
+                    # centroid moments restricted to the inner taps (the
+                    # plugin correction is small and smooth; outer taps
+                    # carry little marginal centroid information) —
+                    # only m00 and b0 for this tap
+                    for i, term in ((0, wc), (3, wcv)):
+                        red = term.sum(1)
+                        cell[i] = red if cell[i] is None else cell[i] + red
+                    continue
+                if slots == 4 and centroid_bf16:
+                    # the centroid moments only feed the small plugin
+                    # bias correction (cy = m01/m00 ~ 0.2 px); bf16
+                    # products with f32 reduces are ~0.4% relative on
+                    # cy — invisible at the output — and halve the
+                    # dominant product-chain bandwidth
+                    wc_h = wc.astype(jnp.bfloat16)
+                    dywc = dy.astype(jnp.bfloat16) * wc_h
+                    dxwc = dx.astype(jnp.bfloat16) * wc_h
+                else:
+                    dywc = dy * wc
+                    dxwc = dx * wc
                 if slots == 4:
                     terms = (wc, dywc, dxwc, wcv)
                 else:
@@ -583,7 +645,9 @@ def _merge_planes_order1(
                         wcv, dy * wcv, dx * wcv,
                     )
                 for i, term in enumerate(terms):
-                    red = term.sum(1)  # frame axis dies here
+                    # frame axis dies here; f32 accumulation regardless
+                    # of the product dtype
+                    red = term.sum(1, dtype=jnp.float32)
                     cell[i] = red if cell[i] is None else cell[i] + red
 
     zero = jnp.zeros((hh, hw), jnp.float32)

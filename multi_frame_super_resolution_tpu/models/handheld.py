@@ -134,7 +134,10 @@ def handheld_superres(
     omega_inv = kernel_params(st, cfg.merge)
 
     fallback = upscale(burst[0], cfg.scale, "bicubic")
-    if cfg.merge.order == 1:
+    rgb_order = (
+        cfg.merge.order if cfg.merge.rgb_order is None else cfg.merge.rgb_order
+    )
+    if rgb_order == 1:
         moments = merge_burst_rgb(
             burst, flows, cert, omega_inv, cfg.scale, cfg.merge.radius,
             order=1,
@@ -309,7 +312,12 @@ def _handheld_fast(
         )
 
         fallback_p = upsample_int_phases_planes(burst[0], cfg.scale, "bicubic")
-        if cfg.merge.order == 1:
+        rgb_order = (
+            cfg.merge.order
+            if cfg.merge.rgb_order is None
+            else cfg.merge.rgb_order
+        )
+        if rgb_order == 1:
             moments_p = merge_burst_fast(
                 warped, res_flow, cert, omega_inv, cfg.scale,
                 cfg.merge.radius, cfg.residual_bound, k_max=cfg.merge.k_max,
@@ -618,6 +626,9 @@ def _handheld_raw_fast(
                 guide=guide, phase_output=True, order=1,
                 prune_exp=cfg.merge.prune_exp,
                 moment_slots=4 if cfg.merge.solver == "plugin" else 9,
+                exact_weights=cfg.merge.exact_weights,
+                centroid_prune=cfg.merge.centroid_prune,
+                centroid_bf16=cfg.merge.centroid_bf16,
             )
             est_p, m00_p = _o1_solve(moments_p, cfg, grad_phases)
             merged = apply_weighting_order1(
@@ -643,6 +654,9 @@ def _handheld_raw_fast(
             residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
             phase_output=True, order=1, prune_exp=cfg.merge.prune_exp,
             moment_slots=4 if cfg.merge.solver == "plugin" else 9,
+            exact_weights=cfg.merge.exact_weights,
+            centroid_prune=cfg.merge.centroid_prune,
+            centroid_bf16=cfg.merge.centroid_bf16,
         )
         est_p, m00_p = _o1_solve(moments_p, cfg, grad_phases)
         out_p = apply_weighting_order1(

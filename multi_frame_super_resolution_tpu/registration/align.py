@@ -189,6 +189,18 @@ def flow_from_tile_shifts(
 ) -> jnp.ndarray:
     """Per-tile shift field -> dense per-pixel flow (H, W, 2), bilinearly
     interpolated like the texture read in CreateFlowFieldFromTiles
-    (opticalFlow.cu:88-90) when ``smooth``, else piecewise constant."""
+    (opticalFlow.cu:88-90) when ``smooth``, else piecewise constant.
+
+    When the image is an exact tile multiple the interpolation is a
+    fixed-coefficient polyphase upsample (ops.warp_fast.upsample_int:
+    static shifts x constant weights, numerically identical to the
+    gather-based resize) — the general remap lowers to a gather that
+    cost 0.74 ms/burst on the fast RAW path at city size (round-4
+    stage decomposition), ~40x the gatherless form."""
+    nty, ntx = shifts.shape[0], shifts.shape[1]
+    if smooth and height == nty * tile_size and width == ntx * tile_size:
+        from multi_frame_super_resolution_tpu.ops.warp_fast import upsample_int
+
+        return upsample_int(shifts, tile_size, "bilinear")
     method = "bilinear" if smooth else "nearest"
     return resize(shifts, height, width, method)

@@ -9,21 +9,24 @@ rotating, 2x-downsampling and mosaicking each frame; the pipeline's 2x SR
 output is then compared against the HR ground truth directly.
 
 Floors (measured on CPU; CPU/TPU agree to ~0.05 dB). Round-4 values
-with the order-1 merge (MergeConfig.order), calibrated defaults
-(k_min_rb=0.25, smooth_residual) and the fitted restoration filter
-(HandheldConfig.final_restore):
+with the order-1 merge (MergeConfig.order) under the plugin-gradient
+solver (solve_plugin — measures ABOVE the exact 3x3 solve: 27.58 vs
+27.39), calibrated defaults (k_min_rb=0.25, smooth_residual) and the
+fitted restoration filter (HandheldConfig.final_restore):
   * demosaic+bicubic of frame 0 (single-frame baseline): 25.39 dB
-  * fast RAW pipeline, default config:  27.39 dB (round 3: 26.18)
-  * oracle (fast=False) RAW pipeline:   27.92 dB (round 3: 26.65)
+  * fast RAW pipeline, default config:  27.58 dB (round 3: 26.18)
+  * oracle (fast=False) RAW pipeline:   28.01 dB (round 3: 26.65)
 The fast path must beat the single-frame baseline by a clear margin
 (the whole point of burst SR) and stay within a pinned gap of the
 oracle — the honest stand-in for BASELINE.md's "PSNR within 0.1 dB of
 the CUDA reference" north star, with the CUDA reference unrunnable
-here. Remaining fast-vs-oracle gap 0.53 dB: the oracle re-rounds the
-dense flow per output pixel and evaluates weights at exact per-pixel
-displacements; the measured contributors left in the fast path are
-block-center WEIGHT evaluation and LK-on-warped-frames (residual
-smoothness and R/B kernel floors were closed this round).
+here. Remaining fast-vs-oracle gap 0.43 dB: the oracle re-rounds the
+dense flow per output pixel and resamples values by exact-position
+gathers; the fast path's parameter space is at a measured local
+optimum (round-4 sweep: k_min/k_detail/residual_bound/d_tr/nocert all
+<= default; weights at exact per-pixel displacements = +0.01 dB,
+MergeConfig.exact_weights) — what remains is the integer tile warp +
+clamped-residual value path itself.
 """
 
 import os
@@ -38,9 +41,9 @@ needs_reference = pytest.mark.skipif(
 )
 
 BASELINE_MARGIN_DB = 1.8   # fast must beat demosaic+bicubic by this much
-FAST_FLOOR_DB = 27.2       # measured 27.39 (round-4 directive bar)
-GAP_DB = 0.6               # fast may trail the oracle by at most this
-#                            (measured 0.53; tighten as it closes)
+FAST_FLOOR_DB = 27.2       # measured 27.58 (round-4 directive bar)
+GAP_DB = 0.5               # fast may trail the oracle by at most this
+#                            (measured 0.43; tighten as it closes)
 
 
 def _make_hr_burst(hr, num_frames=5, seed=7, max_shift_hr=3.0, max_rot=0.01):

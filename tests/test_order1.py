@@ -210,3 +210,102 @@ def test_solve_order1_exact_on_linear_field(rng):
         np.asarray(m[6]) / np.asarray(m[0]) - c
     ).mean()
     assert centroid_bias > 0.1  # order-0 would actually be biased here
+
+
+def test_compact_moments_match_full(rng):
+    """moment_slots=4 returns exactly slots (m00, m01, m02, b0) of the
+    9-slot accumulation (the solve_plugin subset)."""
+    from multi_frame_super_resolution_tpu.models.fast_merge import (
+        merge_burst_raw_planes,
+    )
+
+    f, hh, hw, s = 3, 8, 10, 2
+    cfa = [[1, 0], [2, 1]]
+    planes = rng.random((f, 2, 2, hh, hw)).astype(np.float32)
+    residual = rng.normal(0, 0.4, (f, hh, hw, 2)).astype(np.float32)
+    cert = rng.random((f, hh, hw, 3)).astype(np.float32)
+    om_g = (rng.random((hh, hw, 3)) * 0.5 + 0.5).astype(np.float32)
+    om_g[..., 2] = 0.1
+    om_rb = om_g * 0.8
+    args = (
+        jnp.asarray(planes), jnp.asarray(residual), jnp.asarray(cert),
+        jnp.asarray(om_g), jnp.asarray(om_rb), cfa, s,
+    )
+    kw = dict(radius=1, residual_bound=0.5, k_max=1.0, phase_output=True,
+              order=1, prune_exp=3.0)
+    full = merge_burst_raw_planes(*args, moment_slots=9, **kw)
+    compact = merge_burst_raw_planes(*args, moment_slots=4, **kw)
+    assert len(compact) == 4
+    for i, k in enumerate((0, 1, 2, 6)):
+        np.testing.assert_array_equal(np.asarray(compact[i]),
+                                      np.asarray(full[k]))
+
+
+def test_solve_plugin_exact_on_linear_field(rng):
+    """On a spatially-LINEAR sample field with spatially-uniform sample
+    placement, the pilot inherits the true gradient (it is the linear
+    field shifted by a constant centroid offset), so ONE plugin
+    iteration removes the centroid bias exactly — the same analytic
+    property the exact order-1 solve has (test above), reached without
+    fitting the gradient."""
+    from multi_frame_super_resolution_tpu.models.merge import (
+        grad_image,
+        solve_plugin,
+    )
+
+    h, w, n = 12, 13, 9
+    gy, gx = 0.7, -0.4
+    yy = np.arange(h, dtype=np.float64)[:, None, None]
+    xx = np.arange(w, dtype=np.float64)[None, :, None]
+    c = 0.3 + gy * yy + gx * xx + np.zeros((h, w, 3))
+    # per-sample displacement/weight constant across pixels (so the
+    # centroid field is constant and the pilot stays linear)
+    dys = rng.normal(0.4, 1.0, n)
+    dxs = rng.normal(-0.3, 1.0, n)
+    ws = rng.random(n) + 0.1
+    m = [np.zeros((h, w, 3)) for _ in range(4)]
+    for i in range(n):
+        v = c + gy * dys[i] + gx * dxs[i]
+        m[0] += ws[i]
+        m[1] += ws[i] * dys[i]
+        m[2] += ws[i] * dxs[i]
+        m[3] += ws[i] * v
+    est, m00 = solve_plugin(
+        tuple(jnp.asarray(x, jnp.float32) for x in m), grad_image, iters=1
+    )
+    # interior only: the gradient's edge clamp breaks linearity at the
+    # 1-px border
+    np.testing.assert_allclose(
+        np.asarray(est)[1:-1, 1:-1], c[1:-1, 1:-1], rtol=2e-4, atol=2e-4
+    )
+    centroid_bias = np.abs(np.asarray(m[3]) / np.asarray(m[0]) - c).mean()
+    assert centroid_bias > 0.1  # the order-0 estimate IS biased here
+
+
+def test_grad_phases_matches_grad_image(rng):
+    """Phase-domain central differences == image-domain central
+    differences of the interleaved image (interior; the edge clamps
+    replicate whole phase blocks vs single pixels at the border)."""
+    from multi_frame_super_resolution_tpu.models.fast_merge import grad_phases
+    from multi_frame_super_resolution_tpu.models.merge import grad_image
+
+    n, c, hh, hw = 4, 3, 6, 7
+    x = rng.random((n, n, c, hh, hw)).astype(np.float32)
+    gy_p, gx_p = grad_phases(jnp.asarray(x))
+    # interleave (n, n, C, hh, hw) -> (n*hh, n*hw, C)
+    img = np.transpose(x, (3, 0, 4, 1, 2)).reshape(n * hh, n * hw, c)
+    gy_i, gx_i = grad_image(jnp.asarray(img))
+
+    def interleave(p):
+        return np.transpose(np.asarray(p), (3, 0, 4, 1, 2)).reshape(
+            n * hh, n * hw, c
+        )
+
+    np.testing.assert_allclose(
+        interleave(gy_p)[1:-1, 1:-1], np.asarray(gy_i)[1:-1, 1:-1],
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        interleave(gx_p)[1:-1, 1:-1], np.asarray(gx_i)[1:-1, 1:-1],
+        rtol=1e-6, atol=1e-6,
+    )

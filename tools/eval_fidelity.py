@@ -68,7 +68,7 @@ MERGE_KEYS = {
     "k_detail", "k_denoise", "k_stretch", "k_shrink", "d_th", "d_tr",
     "k_min", "k_max", "k_min_rb", "guided_rb", "weight_threshold",
     "radius", "bf16", "order", "ridge", "prune_exp", "solver",
-    "plugin_iters",
+    "plugin_iters", "exact_weights", "rgb_order", "centroid_prune", "centroid_bf16",
 }
 ROBUST_KEYS = {"alpha", "beta", "threshold_m", "s", "t"}
 TOP_KEYS = {

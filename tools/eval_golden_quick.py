@@ -3,11 +3,12 @@
 Prints psnr(ref frame, downsample2(SR)) for the RAW and RGB handheld
 pipelines at the test_golden.py configs — run after algorithm changes to
 recalibrate the golden floors. Usage:
-  JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python tools/eval_golden_quick.py [raw|rgb]
+  JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python tools/eval_golden_quick.py [raw|rgb|both] [norestore]
 """
 
 from __future__ import annotations
 
+import dataclasses
 import sys
 
 import numpy as np
@@ -29,12 +30,15 @@ def main():
     from multi_frame_super_resolution_tpu.utils import psnr
 
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    norestore = "norestore" in sys.argv[2:]
     for name, tile in [("city", 16), ("car", 8), ("iso", 16)]:
         burst = load_burst(name)
         cfg = HandheldConfig(
             align=AlignConfig(tile_size=tile, search_radius=4, levels=2),
             gamma=False,
         )
+        if norestore:
+            cfg = dataclasses.replace(cfg, final_restore=False)
         if which in ("raw", "both"):
             raw = jnp.asarray(np.stack([mosaic_rggb(f) for f in burst]))
             out = jax.jit(lambda b, c=cfg: handheld_superres_raw(b, c))(raw)

@@ -90,10 +90,14 @@ def main():
     from multi_frame_super_resolution_tpu.models import handheld_superres_raw
     from multi_frame_super_resolution_tpu.utils import psnr
 
+    import dataclasses
+
     ksize = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    # fit on the PRE-restore merge output (final_restore defaults on)
     cfg = HandheldConfig(
         align=AlignConfig(tile_size=16, search_radius=4, levels=2), gamma=False
     )
+    cfg = dataclasses.replace(cfg, final_restore=False)
     run = jax.jit(lambda b: handheld_superres_raw(b, cfg))
 
     m = 16

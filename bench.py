@@ -50,11 +50,12 @@ def main() -> None:
     pipeline = lambda b: handheld_superres_raw(b, cfg)  # noqa: E731
     burst_np = raw_np
 
-    # k-rep in-graph scan: the tunnel RTT carries ~±10 ms of scatter, so
+    # k-rep in-graph scan: the tunnel adds ~±4 ms of PER-CALL jitter, so
     # the scan must hold enough bursts that the per-burst signal
-    # dominates it — k=24 puts ~25 ms of real work behind one dispatch
-    # (round 4; k=6 gave a 0.2-1.5 ms/burst spread across reps)
-    k = int(os.environ.get("MFSR_BENCH_K", "24"))
+    # dominates it — k=64 puts ~80 ms of real work behind one dispatch
+    # and shrinks the per-burst band to ~±2% (round 4: k=6 spread
+    # 0.2-1.5 ms/burst across reps, k=24 ±0.17, k=64 1.21-1.255)
+    k = int(os.environ.get("MFSR_BENCH_K", "64"))
     reps = int(os.environ.get("MFSR_BENCH_REPS", "4"))
 
     def make_rep(length):

@@ -42,6 +42,10 @@ class AlignConfig:
     # its residual is small; radius 2 cuts the SSD volume (2R+1)^2 from
     # 81 to 25 shifted copies on the hottest level. The reference's
     # per-level maxShift grids are the same idea (kernel.cu:264-378).
+    # Round-4 measurement: 2 is true-HR-fidelity-free on the synthetic
+    # burst (27.58 dB) and ~0.08 ms faster at city size, but the car
+    # burst's finest-level residual exceeds it (golden -0.84 dB; 3 still
+    # -0.44) — default stays None, flip to 2 for smooth-motion bursts.
     fine_radius: int | None = None
     levels: int = 3              # pyramid levels (coarse-to-fine)
     downsample: int = 2          # pyramid decimation factor between levels
@@ -87,8 +91,9 @@ class LKConfig:
     # window sums via bfloat16 banded matmuls on the MXU (f32
     # accumulation; only input quantization at ~2^-8 relative) instead
     # of the f32 sliding cumsum on the VPU — see ops.filters
-    # box_filter_planes(mxu_bf16=...)
-    bf16: bool = False
+    # box_filter_planes(mxu_bf16=...). Round-4 default on: true-HR
+    # fidelity unchanged (27.58 dB), ~0.1 ms faster at city size.
+    bf16: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,14 +194,18 @@ class MergeConfig:
     centroid_prune: float | None = None
     # plugin solver: bf16 products (f32 reduces) for the centroid moment
     # chain — ~0.4% relative on the already-small correction term.
-    centroid_bf16: bool = True
+    # Measured round 4: the dtype casts made it SLOWER on v5e (1.47 vs
+    # 1.36 ms full pipeline) — the products feed f32 reduces, so the
+    # conversions add ops without saving bandwidth. Default off.
+    centroid_bf16: bool = False
     # static tap pruning threshold: taps whose best-case Gaussian weight
     # is below e^-prune_exp are dropped at trace time (fast merges).
     # 6.0 reproduces the reference's 5x5 window at the order-0 defaults;
-    # 3.0 with radius=1 + residual_bound=0.5 keeps exactly the 3x3-tap
-    # window that measures IDENTICAL true-HR fidelity under order=1
-    # (27.28 dB both, tools/proto_order1.py) at ~1/3 the tap volume.
-    prune_exp: float = 3.0
+    # at radius=1 + residual_bound=1.0 the levels are 25 taps (3.0),
+    # 21 taps (1.5, drops the |2|,|2| corners) and 9 taps (1.0).
+    # Round-4 measurements: 1.5 is true-HR-fidelity-free (27.58 dB both)
+    # and ~0.1 ms faster at city size; 1.0 costs 0.49 dB.
+    prune_exp: float = 1.5
     radius: int = 1              # tap neighborhood (reference: 2 => 5x5,
     #                              DeBayerKernels.cu:317; order-1 default
     #                              1 — see prune_exp)

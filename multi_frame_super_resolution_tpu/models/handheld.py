@@ -54,6 +54,28 @@ def _o1_solve(moments, cfg, grad_fn):
     return solve_order1(moments, cfg.merge.ridge)
 
 
+def _scaled_merge_cfg(cfg):
+    """Merge config with the kernel variance clamps rescaled to the
+    output grid. k_min/k_max/k_min_rb are calibrated at scale 2 in
+    OUTPUT px^2; a fixed output-unit clamp shrinks physically as scale
+    grows, leaving coverage holes between the (scale-px-apart) samples.
+    Scaling by (scale/2)^2 keeps the clamp's physical (input-pixel)
+    footprint constant: at scale 4 this turns (0.25, 1.0) into
+    (1.0, 4.0), measured +1.9 dB on the scale-4 true-HR burst
+    (tests/test_fidelity.py); scale 2 is untouched."""
+    m = (cfg.scale / 2.0) ** 2
+    if m == 1.0:
+        return cfg.merge
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg.merge,
+        k_min=cfg.merge.k_min * m,
+        k_max=cfg.merge.k_max * m,
+        k_min_rb=cfg.merge.k_min_rb * m,
+    )
+
+
 def _burst_flows(
     gray: jnp.ndarray, cfg: HandheldConfig
 ) -> jnp.ndarray:
@@ -131,7 +153,7 @@ def handheld_superres(
         cert = cert * prevalid[..., None]
 
     st = smoothed_structure_tensor(gray[0], cfg.st_window)
-    omega_inv = kernel_params(st, cfg.merge)
+    omega_inv = kernel_params(st, _scaled_merge_cfg(cfg))
 
     fallback = upscale(burst[0], cfg.scale, "bicubic")
     rgb_order = (
@@ -287,7 +309,7 @@ def _handheld_fast(
     cert = cert.at[0].set(1.0)
 
     st = smoothed_structure_tensor(gray[0], cfg.st_window)
-    omega_inv = kernel_params(st, cfg.merge)
+    omega_inv = kernel_params(st, _scaled_merge_cfg(cfg))
 
     if cfg.merge.use_pallas:
         from multi_frame_super_resolution_tpu.pallas_ops.merge import (
@@ -296,7 +318,7 @@ def _handheld_fast(
 
         num, den = merge_fast_pallas(
             warped, res_flow, cert, omega_inv, cfg.scale, cfg.merge.radius,
-            cfg.residual_bound, k_max=cfg.merge.k_max,
+            cfg.residual_bound, k_max=_scaled_merge_cfg(cfg).k_max,
         )
         fallback = upsample_int(burst[0], cfg.scale, "bicubic")
         out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
@@ -320,7 +342,7 @@ def _handheld_fast(
         if rgb_order == 1:
             moments_p = merge_burst_fast(
                 warped, res_flow, cert, omega_inv, cfg.scale,
-                cfg.merge.radius, cfg.residual_bound, k_max=cfg.merge.k_max,
+                cfg.merge.radius, cfg.residual_bound, k_max=_scaled_merge_cfg(cfg).k_max,
                 phase_output=True, order=1, prune_exp=cfg.merge.prune_exp,
                 moment_slots=4 if cfg.merge.solver == "plugin" else 9,
             )
@@ -331,7 +353,7 @@ def _handheld_fast(
         else:
             num_p, den_p = merge_burst_fast(
                 warped, res_flow, cert, omega_inv, cfg.scale,
-                cfg.merge.radius, cfg.residual_bound, k_max=cfg.merge.k_max,
+                cfg.merge.radius, cfg.residual_bound, k_max=_scaled_merge_cfg(cfg).k_max,
                 phase_output=True, bf16=cfg.merge.bf16,
                 prune_exp=cfg.merge.prune_exp,
             )
@@ -408,7 +430,7 @@ def handheld_superres_raw(
     st = smoothed_structure_tensor(gray_half[0], cfg.st_window)
     # half-res-unit gradients -> RAW-res grid (values are unit-sensitive
     # only through the tuned k-constants)
-    omega_inv = resize(kernel_params(st, cfg.merge), h, w, "bilinear")
+    omega_inv = resize(kernel_params(st, _scaled_merge_cfg(cfg)), h, w, "bilinear")
 
     flows_raw = jax.vmap(lambda fl: resize(fl, h, w, "bilinear") * 2.0)(flows_half)
 
@@ -585,9 +607,10 @@ def _handheld_raw_fast(
     )
 
     st = smoothed_structure_tensor(gray_half[0], cfg.st_window)
-    omega_half = kernel_params(st, cfg.merge)
+    omega_half = kernel_params(st, _scaled_merge_cfg(cfg))
     # wider kernels for the 2x-sparser R/B channels
-    mc_rb = dataclasses.replace(cfg.merge, k_min=max(cfg.merge.k_min, cfg.merge.k_min_rb))
+    mc = _scaled_merge_cfg(cfg)
+    mc_rb = dataclasses.replace(mc, k_min=max(mc.k_min, mc.k_min_rb))
     omega_half_rb = kernel_params(st, mc_rb)
 
     # fallback only shows through where den < weight_threshold (sparse,
@@ -622,7 +645,7 @@ def _handheld_raw_fast(
             moments_p = merge_burst_raw_planes(
                 warped, res_half * 2.0, cert_half, omega_half, omega_half_rb,
                 cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
-                residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
+                residual_bound=cfg.residual_bound, k_max=_scaled_merge_cfg(cfg).k_max,
                 guide=guide, phase_output=True, order=1,
                 prune_exp=cfg.merge.prune_exp,
                 moment_slots=4 if cfg.merge.solver == "plugin" else 9,
@@ -638,7 +661,7 @@ def _handheld_raw_fast(
             num_p, den_p = merge_burst_raw_planes(
                 warped, res_half * 2.0, cert_half, omega_half, omega_half_rb,
                 cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
-                residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
+                residual_bound=cfg.residual_bound, k_max=_scaled_merge_cfg(cfg).k_max,
                 guide=guide, phase_output=True, bf16=cfg.merge.bf16,
                 prune_exp=cfg.merge.prune_exp,
             )
@@ -651,7 +674,7 @@ def _handheld_raw_fast(
         moments_p = merge_burst_raw_planes(
             warped, res_half * 2.0, cert_half, omega_half, omega_half_rb,
             cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
-            residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
+            residual_bound=cfg.residual_bound, k_max=_scaled_merge_cfg(cfg).k_max,
             phase_output=True, order=1, prune_exp=cfg.merge.prune_exp,
             moment_slots=4 if cfg.merge.solver == "plugin" else 9,
             exact_weights=cfg.merge.exact_weights,
@@ -666,7 +689,7 @@ def _handheld_raw_fast(
         num_p, den_p = merge_burst_raw_planes(
             warped, res_half * 2.0, cert_half, omega_half, omega_half_rb,
             cfg.cfa_pattern, cfg.scale, cfg.merge.radius,
-            residual_bound=cfg.residual_bound, k_max=cfg.merge.k_max,
+            residual_bound=cfg.residual_bound, k_max=_scaled_merge_cfg(cfg).k_max,
             phase_output=True, bf16=cfg.merge.bf16,
             prune_exp=cfg.merge.prune_exp,
         )

@@ -136,3 +136,72 @@ def test_true_hr_fast_vs_oracle_gap(hr_and_burst):
         hr, jax.jit(lambda b: handheld_superres_raw(b, _cfg(fast=False)))(raw)
     )
     assert p_fast > p_oracle - GAP_DB, (p_fast, p_oracle)
+
+
+@needs_reference
+def test_scale4_fidelity_beats_baseline():
+    """Scale-4 flagship proof (BASELINE.json configs[4] claims 2x-4x;
+    accumulateImagesSuperRes is the 2x specialization,
+    DeBayerKernels.cu:378-468). Burst synthesized by 4x box downsample
+    of the city HR frame; 9 frames (at 4x a 5-frame burst covers only
+    ~1/3 of the output phases — measured round 4: 5f is baseline parity,
+    9f +0.9 dB). k_min_rb=0.5 (the noisy/sparse-burst floor) measured
+    best at this scale; the (scale/2)^2 clamp rescaling is automatic
+    (handheld._scaled_merge_cfg — without it the fixed output-unit
+    clamps leave coverage holes: 20.6 dB, BELOW the 21.8 baseline)."""
+    import dataclasses
+
+    from multi_frame_super_resolution_tpu.config import AlignConfig, HandheldConfig
+    from multi_frame_super_resolution_tpu.data import load_burst
+    from multi_frame_super_resolution_tpu.models import handheld_superres_raw
+    from multi_frame_super_resolution_tpu.ops.debayer import debayer
+    from multi_frame_super_resolution_tpu.ops.geometry import upscale
+
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from eval_fidelity import make_hr_burst
+
+    hr = np.asarray(load_burst("city")[0])
+    raw = jnp.asarray(
+        make_hr_burst(hr, num_frames=9, factor=4, max_shift_hr=6.0)[0]
+    )
+    cfg = HandheldConfig(
+        align=AlignConfig(tile_size=8, search_radius=4, levels=2),
+        gamma=False, scale=4,
+    )
+    cfg = dataclasses.replace(
+        cfg, merge=dataclasses.replace(cfg.merge, k_min_rb=0.5)
+    )
+    sr = jax.jit(lambda b: handheld_superres_raw(b, cfg))(raw)
+    p_fast = _hr_psnr(hr, sr)
+
+    base = jax.jit(
+        lambda r: jnp.clip(
+            upscale(debayer(r, ((0, 1), (1, 2))), 4, "bicubic"), 0.0, 1.0
+        )
+    )(raw[0])
+    p_base = _hr_psnr(hr, base)
+    # measured 22.74 vs 21.81 (+0.93); floor with ~0.3 dB slack
+    assert p_fast > p_base + 0.6, (p_fast, p_base)
+    assert p_fast > 22.3, p_fast
+
+
+@needs_reference
+def test_scale3_runs():
+    """Odd-scale structural check: the phase machinery (2s=6 output
+    phases, tap pruning, interleave) is scale-generic."""
+    from multi_frame_super_resolution_tpu.config import AlignConfig, HandheldConfig
+    from multi_frame_super_resolution_tpu.data import load_burst, mosaic_rggb
+
+    from multi_frame_super_resolution_tpu.models import handheld_superres_raw
+
+    burst = load_burst("city")[:, :64, :128]
+    raw = jnp.asarray(np.stack([mosaic_rggb(f) for f in burst]))
+    cfg = HandheldConfig(
+        align=AlignConfig(tile_size=8, search_radius=4, levels=2),
+        gamma=False, scale=3,
+    )
+    out = jax.jit(lambda b: handheld_superres_raw(b, cfg))(raw)
+    assert out.shape == (192, 384, 3)
+    assert bool(jnp.isfinite(out).all())

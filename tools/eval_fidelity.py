@@ -30,10 +30,12 @@ sys.path.insert(0, "/root/repo")
 
 
 def make_hr_burst(hr, num_frames=5, seed=7, max_shift_hr=3.0, max_rot=0.01,
-                  rgb=False):
-    """(HR rgb) -> mosaicked LR burst (F, H/2, W/2) + the (dy, dx, ang)
+                  rgb=False, factor=2):
+    """(HR rgb) -> mosaicked LR burst (F, H/f, W/f) + the (dy, dx, ang)
     truth list (HR units, frame 0 unmoved). rgb=True skips the mosaic
-    and returns LR RGB frames (F, H/2, W/2, 3) for the RGB pipeline."""
+    and returns LR RGB frames for the RGB pipeline. ``factor`` (power of
+    2) sets the downsample so PSNR(SR_scale=factor, HR) measures true
+    fidelity at that scale."""
     import jax.numpy as jnp
 
     from multi_frame_super_resolution_tpu.data import mosaic_rggb
@@ -59,7 +61,12 @@ def make_hr_burst(hr, num_frames=5, seed=7, max_shift_hr=3.0, max_rot=0.01,
             ],
             axis=-1,
         )
-        lr = np.asarray(downsample2(jnp.asarray(warped)))
+        lr = jnp.asarray(warped)
+        fct = factor
+        while fct > 1:
+            lr = downsample2(lr)
+            fct //= 2
+        lr = np.asarray(lr)
         frames.append(lr if rgb else mosaic_rggb(lr))
     return np.stack(frames), truth
 

@@ -588,14 +588,18 @@ def _merge_planes_order1(
             w_g = quadp(dx_w, dy_w, omega_inv)
             w_rb = quadp(dx_w, dy_w, omega_inv_rb)
         # query-point displacements, shared across b / a respectively
-        dy_m = {a: sf * (float(ky) - rho_y[a]) for a in (0, 1)}
-        dx_m = {b: sf * (float(kx) - rho_x[b]) for b in (0, 1)}
+        # (slots==4 folds ky/kx as scalars instead — no fields needed)
+        if slots != 4 or exact_weights:
+            dy_m = {a: sf * (float(ky) - rho_y[a]) for a in (0, 1)}
+            dx_m = {b: sf * (float(kx) - rho_x[b]) for b in (0, 1)}
+        else:
+            dy_m = dx_m = None
         for a in (0, 1):
             qa, da = (a + ky) % 2, (a + ky) // 2
-            dy = dy_m[a]
+            dy = None if dy_m is None else dy_m[a]
             for b in (0, 1):
                 qb, db = (b + kx) % 2, (b + kx) // 2
-                dx = dx_m[b]
+                dx = None if dx_m is None else dx_m[b]
                 ch = int(pat[qa][qb])
                 src = planes[:, qa, qb]
                 if guide is not None and ch != 1:
@@ -625,28 +629,41 @@ def _merge_planes_order1(
                         red = term.sum(1)
                         cell[i] = red if cell[i] is None else cell[i] + red
                     continue
-                if slots == 4 and centroid_bf16:
-                    # the centroid moments only feed the small plugin
-                    # bias correction (cy = m01/m00 ~ 0.2 px); bf16
-                    # products with f32 reduces are ~0.4% relative on
-                    # cy — invisible at the output — and halve the
-                    # dominant product-chain bandwidth
-                    wc_h = wc.astype(jnp.bfloat16)
-                    dywc = dy.astype(jnp.bfloat16) * wc_h
-                    dxwc = dx.astype(jnp.bfloat16) * wc_h
-                else:
-                    dywc = dy * wc
-                    dxwc = dx * wc
                 if slots == 4:
-                    terms = (wc, dywc, dxwc, wcv)
-                else:
+                    # exact algebra: dy = s(ky - rho) so
+                    # sum dy*wc = s(ky * sum wc - sum rho*wc) — the tap
+                    # index folds as a SCALAR onto the m00 reduce and
+                    # the only extra products are rho*wc (rho is
+                    # tap-constant; no per-tap displacement fields).
+                    if centroid_bf16:
+                        # bf16 products / f32 reduces on the (small)
+                        # correction-feeding moments only — measured
+                        # slower on v5e (casts without bandwidth wins),
+                        # kept as a knob for other chips
+                        wc_h = wc.astype(jnp.bfloat16)
+                        rywc = rho_y[a].astype(jnp.bfloat16) * wc_h
+                        rxwc = rho_x[b].astype(jnp.bfloat16) * wc_h
+                    else:
+                        rywc = rho_y[a] * wc
+                        rxwc = rho_x[b] * wc
+                    red_wc = wc.sum(1, dtype=jnp.float32)
+                    red_ry = rywc.sum(1, dtype=jnp.float32)
+                    red_rx = rxwc.sum(1, dtype=jnp.float32)
                     terms = (
-                        wc, dywc, dxwc, dy * dywc, dx * dywc, dx * dxwc,
-                        wcv, dy * wcv, dx * wcv,
+                        (0, red_wc),
+                        (1, sf * (float(ky) * red_wc - red_ry)),
+                        (2, sf * (float(kx) * red_wc - red_rx)),
+                        (3, wcv.sum(1, dtype=jnp.float32)),
                     )
-                for i, term in enumerate(terms):
-                    # frame axis dies here; f32 accumulation regardless
-                    # of the product dtype
+                    for i, red in terms:
+                        cell[i] = red if cell[i] is None else cell[i] + red
+                    continue
+                full = (
+                    wc, dy * wc, dx * wc, dy * dy * wc, dy * dx * wc,
+                    dx * dx * wc, wcv, dy * wcv, dx * wcv,
+                )
+                for i, term in enumerate(full):
+                    # frame axis dies here
                     red = term.sum(1, dtype=jnp.float32)
                     cell[i] = red if cell[i] is None else cell[i] + red
 

@@ -236,9 +236,13 @@ def test_compact_moments_match_full(rng):
     full = merge_burst_raw_planes(*args, moment_slots=9, **kw)
     compact = merge_burst_raw_planes(*args, moment_slots=4, **kw)
     assert len(compact) == 4
+    # the compact path folds the tap index as a scalar onto the m00
+    # reduce (sum dy*wc = s(ky*sum wc - sum rho*wc)) — algebraically
+    # identical, so only reassociation-level fp differences remain
     for i, k in enumerate((0, 1, 2, 6)):
-        np.testing.assert_array_equal(np.asarray(compact[i]),
-                                      np.asarray(full[k]))
+        np.testing.assert_allclose(np.asarray(compact[i]),
+                                   np.asarray(full[k]),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_solve_plugin_exact_on_linear_field(rng):

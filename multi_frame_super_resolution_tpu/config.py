@@ -198,6 +198,16 @@ class MergeConfig:
     # 1.36 ms full pipeline) — the products feed f32 reduces, so the
     # conversions add ops without saving bandwidth. Default off.
     centroid_bf16: bool = False
+    # plugin solver: evaluate the centroid moments at the BLOCK-CENTER
+    # flow (the same res_y/res_x fields the weight pass reads in the
+    # same fusion) instead of the parity-interpolated per-output-pixel
+    # flow — the rho field reads and the cross-tap wc accumulator
+    # disappear, leaving only extra reduce outputs per tap (device
+    # trace round 4: the parity-rho reads + finalize were ~0.2 ms of
+    # the 0.33 ms order-1 overhead at city size). The phase offsets phi
+    # still fold exactly (as scalars); only the sub-block flow
+    # VARIATION is dropped from the centroid (not from the weights).
+    centroid_block: bool = False
     # static tap pruning threshold: taps whose best-case Gaussian weight
     # is below e^-prune_exp are dropped at trace time (fast merges).
     # 6.0 reproduces the reference's 5x5 window at the order-0 defaults;

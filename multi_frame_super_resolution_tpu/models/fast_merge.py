@@ -318,6 +318,7 @@ def merge_burst_raw_planes(
     exact_weights: bool = False,
     centroid_prune: float | None = None,
     centroid_bf16: bool = False,
+    centroid_block: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """CFA-aware merge on half-resolution planes
     (accumulateImagesSuperRes equivalent, DeBayerKernels.cu:378-468).
@@ -414,7 +415,7 @@ def merge_burst_raw_planes(
             planes, certainty, res_y, res_x, resY1, resX1,
             omega_inv, omega_inv_rb, pat, s, taps, phi, guide,
             slots=moment_slots, exact_weights=exact_weights,
-            centroid_bf16=centroid_bf16,
+            centroid_bf16=centroid_bf16, centroid_block=centroid_block,
             centroid_taps=(
                 None
                 if centroid_prune is None
@@ -512,6 +513,7 @@ def _merge_planes_order1(
     exact_weights: bool = False,
     centroid_taps=None,
     centroid_bf16: bool = False,
+    centroid_block: bool = False,
 ):
     """Stacked-phase rho-fold accumulation for the order-1 plane merge.
 
@@ -548,6 +550,9 @@ def _merge_planes_order1(
     phi_x = np.tile(phi, s)
     phiy_b = jnp.asarray(phi_y * s, jnp.float32).reshape(nph, 1, 1, 1)
     phix_b = jnp.asarray(phi_x * s, jnp.float32).reshape(nph, 1, 1, 1)
+    # input-unit per-phase offsets for the block-center centroid fold
+    phiy_r = jnp.asarray(phi_y, jnp.float32).reshape(nph, 1, 1)
+    phix_r = jnp.asarray(phi_x, jnp.float32).reshape(nph, 1, 1)
 
     def quadp(dx, dy, om):
         # om: (hh, hw, 3) broadcasting against (nph, F, hh, hw)
@@ -569,8 +574,12 @@ def _merge_planes_order1(
             return jnp.repeat(st, s, axis=0)
         return jnp.tile(st, (s, 1, 1, 1))
 
-    rho_y = {a: rho_stack(resY1, a, phi, "y") for a in (0, 1)}
-    rho_x = {b: rho_stack(resX1, b, phi, "x") for b in (0, 1)}
+    need_rho = slots != 4 or exact_weights or not centroid_block
+    if need_rho:
+        rho_y = {a: rho_stack(resY1, a, phi, "y") for a in (0, 1)}
+        rho_x = {b: rho_stack(resX1, b, phi, "x") for b in (0, 1)}
+    else:
+        rho_y = rho_x = None
     sf = float(s)
 
     # m-moment accumulators per [a][b][ch]: `slots` slots of
@@ -578,6 +587,12 @@ def _merge_planes_order1(
     # b0, b1, b2), or the solve_plugin subset (m00, m01, m02, b0)
     m_cells = [[[[None] * slots for _ in range(3)] for _ in range(2)]
                for _ in range(2)]
+    # rho-factored centroid state (slots==4): rho is tap-constant per
+    # cell, so sum_tap sum_F rho*wc = sum_F rho * (sum_tap wc) — ONE
+    # F-live accumulator per cell replaces two full-volume products and
+    # two reduces per tap; the ky/kx parts fold as scalars onto the
+    # (cheap, F-reduced) red_wc accumulators inside the m01/m02 slots
+    wcf_cells = [[[None] * 3 for _ in range(2)] for _ in range(2)]
 
     for ky, kx in taps:
         if not exact_weights:
@@ -629,30 +644,46 @@ def _merge_planes_order1(
                         red = term.sum(1)
                         cell[i] = red if cell[i] is None else cell[i] + red
                     continue
-                if slots == 4:
-                    # exact algebra: dy = s(ky - rho) so
-                    # sum dy*wc = s(ky * sum wc - sum rho*wc) — the tap
-                    # index folds as a SCALAR onto the m00 reduce and
-                    # the only extra products are rho*wc (rho is
-                    # tap-constant; no per-tap displacement fields).
-                    if centroid_bf16:
-                        # bf16 products / f32 reduces on the (small)
-                        # correction-feeding moments only — measured
-                        # slower on v5e (casts without bandwidth wins),
-                        # kept as a knob for other chips
-                        wc_h = wc.astype(jnp.bfloat16)
-                        rywc = rho_y[a].astype(jnp.bfloat16) * wc_h
-                        rxwc = rho_x[b].astype(jnp.bfloat16) * wc_h
-                    else:
-                        rywc = rho_y[a] * wc
-                        rxwc = rho_x[b] * wc
+                if slots == 4 and centroid_block:
+                    # BLOCK-CENTER centroid flow: rho = res + phi with
+                    # res the same block-center field the WEIGHT pass
+                    # reads in this very fusion, so sum_F res*wc adds no
+                    # input bandwidth (phi folds as a per-phase scalar
+                    # onto red_wc). Drops the parity-interpolated
+                    # sub-block flow variation from the centroid only —
+                    # the plugin correction is a smooth ~0.2 px bias
+                    # term (fidelity impact measured in BENCH_NOTES
+                    # round-4 notes).
                     red_wc = wc.sum(1, dtype=jnp.float32)
-                    red_ry = rywc.sum(1, dtype=jnp.float32)
-                    red_rx = rxwc.sum(1, dtype=jnp.float32)
+                    red_ry = (res_y * wc).sum(1, dtype=jnp.float32)
+                    red_rx = (res_x * wc).sum(1, dtype=jnp.float32)
                     terms = (
                         (0, red_wc),
-                        (1, sf * (float(ky) * red_wc - red_ry)),
-                        (2, sf * (float(kx) * red_wc - red_rx)),
+                        (1, sf * ((float(ky) - phiy_r) * red_wc - red_ry)),
+                        (2, sf * ((float(kx) - phix_r) * red_wc - red_rx)),
+                        (3, wcv.sum(1, dtype=jnp.float32)),
+                    )
+                    for i, red in terms:
+                        cell[i] = red if cell[i] is None else cell[i] + red
+                    continue
+                if slots == 4:
+                    # exact algebra: dy = s(ky - rho) so
+                    # sum dy*wc = s(ky * sum wc - sum rho*wc); the ky
+                    # part folds onto the m00 reduce, and the rho part
+                    # — rho being tap-constant — factors OUT of the tap
+                    # loop entirely via the wcf accumulator (finalized
+                    # after the loop). Per-tap extra cost vs order-0 is
+                    # one full-volume add.
+                    red_wc = wc.sum(1, dtype=jnp.float32)
+                    wcf = wc.astype(jnp.bfloat16) if centroid_bf16 else wc
+                    if wcf_cells[a][b][ch] is None:
+                        wcf_cells[a][b][ch] = wcf
+                    else:
+                        wcf_cells[a][b][ch] = wcf_cells[a][b][ch] + wcf
+                    terms = (
+                        (0, red_wc),
+                        (1, (sf * float(ky)) * red_wc),
+                        (2, (sf * float(kx)) * red_wc),
                         (3, wcv.sum(1, dtype=jnp.float32)),
                     )
                     for i, red in terms:
@@ -666,6 +697,25 @@ def _merge_planes_order1(
                     # frame axis dies here
                     red = term.sum(1, dtype=jnp.float32)
                     cell[i] = red if cell[i] is None else cell[i] + red
+
+    if slots == 4:
+        # finalize the rho-factored centroid parts (see wcf_cells above):
+        # m01 -= s * sum_F rho_y * (sum_tap wc), likewise m02 with rho_x
+        for a in (0, 1):
+            for b in (0, 1):
+                for ch in range(3):
+                    wcf = wcf_cells[a][b][ch]
+                    if wcf is None:
+                        continue
+                    cell = m_cells[a][b][ch]
+                    if centroid_bf16:
+                        ry = (rho_y[a].astype(jnp.bfloat16) * wcf)
+                        rx = (rho_x[b].astype(jnp.bfloat16) * wcf)
+                    else:
+                        ry = rho_y[a] * wcf
+                        rx = rho_x[b] * wcf
+                    cell[1] = cell[1] - sf * ry.sum(1, dtype=jnp.float32)
+                    cell[2] = cell[2] - sf * rx.sum(1, dtype=jnp.float32)
 
     zero = jnp.zeros((hh, hw), jnp.float32)
 

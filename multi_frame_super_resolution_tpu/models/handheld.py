@@ -652,6 +652,7 @@ def _handheld_raw_fast(
                 exact_weights=cfg.merge.exact_weights,
                 centroid_prune=cfg.merge.centroid_prune,
                 centroid_bf16=cfg.merge.centroid_bf16,
+                centroid_block=cfg.merge.centroid_block,
             )
             est_p, m00_p = _o1_solve(moments_p, cfg, grad_phases)
             merged = apply_weighting_order1(
@@ -680,6 +681,7 @@ def _handheld_raw_fast(
             exact_weights=cfg.merge.exact_weights,
             centroid_prune=cfg.merge.centroid_prune,
             centroid_bf16=cfg.merge.centroid_bf16,
+            centroid_block=cfg.merge.centroid_block,
         )
         est_p, m00_p = _o1_solve(moments_p, cfg, grad_phases)
         out_p = apply_weighting_order1(

@@ -313,3 +313,36 @@ def test_grad_phases_matches_grad_image(rng):
         interleave(gx_p)[1:-1, 1:-1], np.asarray(gx_i)[1:-1, 1:-1],
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_centroid_block_exact_on_uniform_flow(rng):
+    """centroid_block evaluates the centroid moments at the BLOCK-CENTER
+    flow; when the residual field is spatially uniform per frame, the
+    parity interpolation is a no-op (a shift of a constant field is the
+    same field), so the block-flow and parity-flow centroids must agree
+    exactly up to fp reassociation."""
+    from multi_frame_super_resolution_tpu.models.fast_merge import (
+        merge_burst_raw_planes,
+    )
+
+    f, hh, hw, s = 3, 8, 10, 2
+    cfa = [[1, 0], [2, 1]]
+    planes = rng.random((f, 2, 2, hh, hw)).astype(np.float32)
+    residual = np.broadcast_to(
+        rng.normal(0, 0.4, (f, 1, 1, 2)), (f, hh, hw, 2)
+    ).astype(np.float32)
+    cert = rng.random((f, hh, hw, 3)).astype(np.float32)
+    om_g = (rng.random((hh, hw, 3)) * 0.5 + 0.5).astype(np.float32)
+    om_g[..., 2] = 0.1
+    args = (
+        jnp.asarray(planes), jnp.asarray(residual), jnp.asarray(cert),
+        jnp.asarray(om_g), jnp.asarray(om_g * 0.8), cfa, s,
+    )
+    kw = dict(radius=1, residual_bound=0.5, k_max=1.0, phase_output=True,
+              order=1, prune_exp=3.0, moment_slots=4)
+    parity = merge_burst_raw_planes(*args, **kw)
+    block = merge_burst_raw_planes(*args, centroid_block=True, **kw)
+    for i in range(4):
+        np.testing.assert_allclose(np.asarray(block[i]),
+                                   np.asarray(parity[i]),
+                                   rtol=1e-4, atol=1e-5)

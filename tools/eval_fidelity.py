@@ -71,19 +71,27 @@ def make_hr_burst(hr, num_frames=5, seed=7, max_shift_hr=3.0, max_rot=0.01,
     return np.stack(frames), truth
 
 
-MERGE_KEYS = {
-    "k_detail", "k_denoise", "k_stretch", "k_shrink", "d_th", "d_tr",
-    "k_min", "k_max", "k_min_rb", "guided_rb", "weight_threshold",
-    "radius", "bf16", "order", "ridge", "prune_exp", "solver",
-    "plugin_iters", "exact_weights", "rgb_order", "centroid_prune", "centroid_bf16",
-}
-ROBUST_KEYS = {"alpha", "beta", "threshold_m", "s", "t"}
-TOP_KEYS = {
-    "fast", "residual_bound", "use_lk", "st_window", "smooth_residual",
-    "prealign", "scale", "half_align", "final_restore",
-}
-ALIGN_KEYS = {"tile_size", "search_radius", "levels", "fine_radius"}
-LK_KEYS = {"half_window", "iterations"}
+def _field_names(cls):
+    import multi_frame_super_resolution_tpu.config as _c  # noqa: F401
+
+    return {f.name for f in dataclasses.fields(cls)}
+
+
+def _key_sets():
+    from multi_frame_super_resolution_tpu.config import (
+        AlignConfig, HandheldConfig, LKConfig, MergeConfig, RobustnessConfig,
+    )
+
+    return (
+        _field_names(MergeConfig),
+        _field_names(RobustnessConfig),
+        _field_names(HandheldConfig),
+        _field_names(AlignConfig),
+        _field_names(LKConfig),
+    )
+
+
+MERGE_KEYS, ROBUST_KEYS, TOP_KEYS, ALIGN_KEYS, LK_KEYS = _key_sets()
 
 
 def parse_variant(tokens, base_cfg):

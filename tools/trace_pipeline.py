@@ -25,15 +25,25 @@ def main():
     import jax.numpy as jnp
 
     from multi_frame_super_resolution_tpu.config import AlignConfig, HandheldConfig
-    from multi_frame_super_resolution_tpu.data import load_burst, mosaic_rggb
-    from multi_frame_super_resolution_tpu.models import handheld_superres_raw
+    import sys
 
+    from multi_frame_super_resolution_tpu.data import load_burst, mosaic_rggb
+    from multi_frame_super_resolution_tpu.models import (
+        handheld_superres,
+        handheld_superres_raw,
+    )
+
+    rgb = "rgb" in sys.argv[1:]
     burst = load_burst("city")
-    raw = jnp.asarray(np.stack([mosaic_rggb(f) for f in burst]))
     cfg = HandheldConfig(
         align=AlignConfig(tile_size=16, search_radius=4, levels=2), gamma=False
     )
-    fn = jax.jit(lambda b: handheld_superres_raw(b, cfg))
+    if rgb:
+        raw = jnp.asarray(np.stack(burst))
+        fn = jax.jit(lambda b: handheld_superres(b, cfg))
+    else:
+        raw = jnp.asarray(np.stack([mosaic_rggb(f) for f in burst]))
+        fn = jax.jit(lambda b: handheld_superres_raw(b, cfg))
     compiled = fn.lower(raw).compile()
     hlo = compiled.as_text()
 

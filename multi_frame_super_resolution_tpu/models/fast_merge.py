@@ -574,12 +574,35 @@ def _merge_planes_order1(
             return jnp.repeat(st, s, axis=0)
         return jnp.tile(st, (s, 1, 1, 1))
 
-    need_rho = slots != 4 or exact_weights or not centroid_block
+    need_rho = slots != 4 or exact_weights
     if need_rho:
         rho_y = {a: rho_stack(resY1, a, phi, "y") for a in (0, 1)}
         rho_x = {b: rho_stack(resX1, b, phi, "x") for b in (0, 1)}
     else:
         rho_y = rho_x = None
+    if slots == 4 and not centroid_block:
+        # COMPACT parity-rho fields (s, F, hh, hw): the (nph, ...) stacks
+        # above repeat/tile these along the phase axis, and XLA
+        # materializes that repeat when it feeds a per-tap product —
+        # nph/s times the read bandwidth for no information. The per-tap
+        # centroid reduces below broadcast the compact form against the
+        # phase-split weight view instead. (An F-live factored
+        # accumulator — sum_tap wc per cell, rho applied once at the end
+        # — was measured SLOWER: 12 (nph, F, hh, hw) accumulator
+        # round-trips per tap beat the in-fusion products it saved,
+        # ~265 us in the finalize alone, round-4 device trace.)
+        rho_y_c = {
+            a: jnp.stack(
+                [resY1[a * s + p] + float(phi[p]) for p in range(s)], 0
+            )
+            for a in (0, 1)
+        }
+        rho_x_c = {
+            b: jnp.stack(
+                [resX1[b * s + p] + float(phi[p]) for p in range(s)], 0
+            )
+            for b in (0, 1)
+        }
     sf = float(s)
 
     # m-moment accumulators per [a][b][ch]: `slots` slots of
@@ -587,12 +610,6 @@ def _merge_planes_order1(
     # b0, b1, b2), or the solve_plugin subset (m00, m01, m02, b0)
     m_cells = [[[[None] * slots for _ in range(3)] for _ in range(2)]
                for _ in range(2)]
-    # rho-factored centroid state (slots==4): rho is tap-constant per
-    # cell, so sum_tap sum_F rho*wc = sum_F rho * (sum_tap wc) — ONE
-    # F-live accumulator per cell replaces two full-volume products and
-    # two reduces per tap; the ky/kx parts fold as scalars onto the
-    # (cheap, F-reduced) red_wc accumulators inside the m01/m02 slots
-    wcf_cells = [[[None] * 3 for _ in range(2)] for _ in range(2)]
 
     for ky, kx in taps:
         if not exact_weights:
@@ -668,22 +685,34 @@ def _merge_planes_order1(
                     continue
                 if slots == 4:
                     # exact algebra: dy = s(ky - rho) so
-                    # sum dy*wc = s(ky * sum wc - sum rho*wc); the ky
-                    # part folds onto the m00 reduce, and the rho part
-                    # — rho being tap-constant — factors OUT of the tap
-                    # loop entirely via the wcf accumulator (finalized
-                    # after the loop). Per-tap extra cost vs order-0 is
-                    # one full-volume add.
+                    # sum dy*wc = s(ky * sum wc - sum rho*wc) — the tap
+                    # index folds as a SCALAR onto the m00 reduce, and
+                    # the rho part rides the SAME fusion that produces
+                    # wc, reading only the COMPACT (s, F, hh, hw) rho
+                    # fields (see rho_y_c above): wc is in-register
+                    # there, so the extra per-tap cost is two broadcast
+                    # products + two small reduce outputs.
                     red_wc = wc.sum(1, dtype=jnp.float32)
-                    wcf = wc.astype(jnp.bfloat16) if centroid_bf16 else wc
-                    if wcf_cells[a][b][ch] is None:
-                        wcf_cells[a][b][ch] = wcf
+                    wc5 = wc.reshape(s, s, f, hh, hw)
+                    if centroid_bf16:
+                        # bf16 products / f32 reduces on the (small)
+                        # correction-feeding moments only — measured
+                        # slower on v5e (casts without bandwidth wins),
+                        # kept as a knob for other chips
+                        wc5 = wc5.astype(jnp.bfloat16)
+                        ry_p = rho_y_c[a].astype(jnp.bfloat16)[:, None]
+                        rx_p = rho_x_c[b].astype(jnp.bfloat16)[None, :]
                     else:
-                        wcf_cells[a][b][ch] = wcf_cells[a][b][ch] + wcf
+                        ry_p = rho_y_c[a][:, None]
+                        rx_p = rho_x_c[b][None, :]
+                    red_ry = (ry_p * wc5).sum(2, dtype=jnp.float32)
+                    red_rx = (rx_p * wc5).sum(2, dtype=jnp.float32)
                     terms = (
                         (0, red_wc),
-                        (1, (sf * float(ky)) * red_wc),
-                        (2, (sf * float(kx)) * red_wc),
+                        (1, sf * (float(ky) * red_wc
+                                  - red_ry.reshape(nph, hh, hw))),
+                        (2, sf * (float(kx) * red_wc
+                                  - red_rx.reshape(nph, hh, hw))),
                         (3, wcv.sum(1, dtype=jnp.float32)),
                     )
                     for i, red in terms:
@@ -697,25 +726,6 @@ def _merge_planes_order1(
                     # frame axis dies here
                     red = term.sum(1, dtype=jnp.float32)
                     cell[i] = red if cell[i] is None else cell[i] + red
-
-    if slots == 4:
-        # finalize the rho-factored centroid parts (see wcf_cells above):
-        # m01 -= s * sum_F rho_y * (sum_tap wc), likewise m02 with rho_x
-        for a in (0, 1):
-            for b in (0, 1):
-                for ch in range(3):
-                    wcf = wcf_cells[a][b][ch]
-                    if wcf is None:
-                        continue
-                    cell = m_cells[a][b][ch]
-                    if centroid_bf16:
-                        ry = (rho_y[a].astype(jnp.bfloat16) * wcf)
-                        rx = (rho_x[b].astype(jnp.bfloat16) * wcf)
-                    else:
-                        ry = rho_y[a] * wcf
-                        rx = rho_x[b] * wcf
-                    cell[1] = cell[1] - sf * ry.sum(1, dtype=jnp.float32)
-                    cell[2] = cell[2] - sf * rx.sum(1, dtype=jnp.float32)
 
     zero = jnp.zeros((hh, hw), jnp.float32)
 

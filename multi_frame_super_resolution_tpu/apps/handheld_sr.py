@@ -31,7 +31,10 @@ def main(argv=None) -> int:
         handheld_superres,
         handheld_superres_raw,
     )
-    from multi_frame_super_resolution_tpu.utils.timing import measure
+    from multi_frame_super_resolution_tpu.utils.timing import (
+        measure,
+        measure_amortized,
+    )
 
     burst_np = load_burst(input_name)
     cfg = HandheldConfig(scale=scale)
@@ -40,20 +43,34 @@ def main(argv=None) -> int:
         raw = np.stack([mosaic_rggb(f) for f in burst_np])
         data = jnp.asarray(raw)
         fn = jax.jit(lambda b: handheld_superres_raw(b, cfg))
+        raw_fn = lambda b: handheld_superres_raw(b, cfg)  # noqa: E731
     else:
         data = jnp.asarray(burst_np)
         fn = jax.jit(lambda b: handheld_superres(b, cfg))
+        raw_fn = lambda b: handheld_superres(b, cfg)  # noqa: E731
 
     import os
 
     out_px = burst_np.shape[1] * scale * burst_np.shape[2] * scale
+    # per-dispatch protocol: perturbed inputs + value-readback fence
+    # (on a tunneled backend this includes the ~30 ms RPC floor)
     result = measure(
-        lambda: fn(data),
+        fn,
+        args=(data,),
         warmup=max(int(os.environ.get("MFSR_BENCH_WARMUP", "2")), 1),
         iters=max(int(os.environ.get("MFSR_BENCH_ITERS", "10")), 1),
         name=f"handheld-{input_name}{'-raw' if use_raw else ''}",
         pixels_per_iter=float(out_px),
     )
+    # in-graph amortized marginal latency: the dispatch-floor-free number
+    # (the one comparable to BENCH_r*.json); skipped via env for smoke runs
+    if os.environ.get("MFSR_BENCH_AMORTIZED", "1") != "0":
+        result.amortized_sec = measure_amortized(
+            raw_fn,
+            (data,),
+            k=max(int(os.environ.get("MFSR_BENCH_K", "8")), 2),
+            reps=max(int(os.environ.get("MFSR_BENCH_REPS", "2")), 1),
+        )
     print(result)
 
     out = np.asarray(fn(data))

@@ -208,6 +208,16 @@ class MergeConfig:
     # still fold exactly (as scalars); only the sub-block flow
     # VARIATION is dropped from the centroid (not from the weights).
     centroid_block: bool = False
+    # plugin solver (centroid_block form only): reduce the weighted-mean-
+    # residual part of the centroid (sum_F res*wc) at ONE phase and share
+    # it across the s^2 output phases. The per-phase phi offsets still
+    # fold exactly (scalars on the per-phase m00 reduce) and m00/b0 keep
+    # full phase resolution — only the residual-average's sub-phase
+    # VARIATION is dropped, and the residual field is block-constant to
+    # begin with (a half-res estimate), so the weighted mean over taps x
+    # frames is very nearly phase-independent. Cuts the two extra
+    # centroid reduces from (s^2, F, hh, hw) -> (1, F, hh, hw) inputs.
+    centroid_shared_res: bool = False
     # static tap pruning threshold: taps whose best-case Gaussian weight
     # is below e^-prune_exp are dropped at trace time (fast merges).
     # 6.0 reproduces the reference's 5x5 window at the order-0 defaults;

@@ -319,6 +319,7 @@ def merge_burst_raw_planes(
     centroid_prune: float | None = None,
     centroid_bf16: bool = False,
     centroid_block: bool = False,
+    centroid_shared_res: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """CFA-aware merge on half-resolution planes
     (accumulateImagesSuperRes equivalent, DeBayerKernels.cu:378-468).
@@ -416,6 +417,7 @@ def merge_burst_raw_planes(
             omega_inv, omega_inv_rb, pat, s, taps, phi, guide,
             slots=moment_slots, exact_weights=exact_weights,
             centroid_bf16=centroid_bf16, centroid_block=centroid_block,
+            centroid_shared_res=centroid_shared_res,
             centroid_taps=(
                 None
                 if centroid_prune is None
@@ -514,6 +516,7 @@ def _merge_planes_order1(
     centroid_taps=None,
     centroid_bf16: bool = False,
     centroid_block: bool = False,
+    centroid_shared_res: bool = False,
 ):
     """Stacked-phase rho-fold accumulation for the order-1 plane merge.
 
@@ -607,8 +610,11 @@ def _merge_planes_order1(
 
     # m-moment accumulators per [a][b][ch]: `slots` slots of
     # (nph, hh, hw) — solve_order1 order (m00, m01, m02, m11, m12, m22,
-    # b0, b1, b2), or the solve_plugin subset (m00, m01, m02, b0)
-    m_cells = [[[[None] * slots for _ in range(3)] for _ in range(2)]
+    # b0, b1, b2), or the solve_plugin subset (m00, m01, m02, b0).
+    # centroid_shared_res adds two private (1, hh, hw) slots holding the
+    # phase-0 residual-weight sums, folded into m01/m02 after the loop.
+    n_slots = slots + (2 if centroid_shared_res else 0)
+    m_cells = [[[[None] * n_slots for _ in range(3)] for _ in range(2)]
                for _ in range(2)]
 
     for ky, kx in taps:
@@ -672,14 +678,34 @@ def _merge_planes_order1(
                     # term (fidelity impact measured in BENCH_NOTES
                     # round-4 notes).
                     red_wc = wc.sum(1, dtype=jnp.float32)
-                    red_ry = (res_y * wc).sum(1, dtype=jnp.float32)
-                    red_rx = (res_x * wc).sum(1, dtype=jnp.float32)
-                    terms = (
-                        (0, red_wc),
-                        (1, sf * ((float(ky) - phiy_r) * red_wc - red_ry)),
-                        (2, sf * ((float(kx) - phix_r) * red_wc - red_rx)),
-                        (3, wcv.sum(1, dtype=jnp.float32)),
-                    )
+                    if centroid_shared_res:
+                        # residual-average reduces at ONE phase (wc[:1]
+                        # is a view inside the same fusion — the full wc
+                        # is already live for red_wc): the weighted-mean
+                        # residual mu = sum res*wc / m00 is taken as
+                        # phase-independent; the fold into m01/m02 (with
+                        # each phase's own m00 as the multiplier, not
+                        # phase 0's raw sum) happens after the tap loop.
+                        # phi stays exact per phase via phiy_r/phix_r.
+                        red_ry = (res_y * wc[:1]).sum(1, dtype=jnp.float32)
+                        red_rx = (res_x * wc[:1]).sum(1, dtype=jnp.float32)
+                        terms = (
+                            (0, red_wc),
+                            (1, sf * (float(ky) - phiy_r) * red_wc),
+                            (2, sf * (float(kx) - phix_r) * red_wc),
+                            (3, wcv.sum(1, dtype=jnp.float32)),
+                            (slots, red_ry),
+                            (slots + 1, red_rx),
+                        )
+                    else:
+                        red_ry = (res_y * wc).sum(1, dtype=jnp.float32)
+                        red_rx = (res_x * wc).sum(1, dtype=jnp.float32)
+                        terms = (
+                            (0, red_wc),
+                            (1, sf * ((float(ky) - phiy_r) * red_wc - red_ry)),
+                            (2, sf * ((float(kx) - phix_r) * red_wc - red_rx)),
+                            (3, wcv.sum(1, dtype=jnp.float32)),
+                        )
                     for i, red in terms:
                         cell[i] = red if cell[i] is None else cell[i] + red
                     continue
@@ -726,6 +752,26 @@ def _merge_planes_order1(
                     # frame axis dies here
                     red = term.sum(1, dtype=jnp.float32)
                     cell[i] = red if cell[i] is None else cell[i] + red
+
+    if centroid_shared_res:
+        # fold the shared residual average into m01/m02: with
+        # mu = R0 / m00[phase 0] the exact-per-phase term sum res*wc[ph]
+        # is approximated as mu * m00[ph] (the weighted-mean residual is
+        # phase-independent; only its per-phase weight NORMALIZATION is
+        # kept exact). Where phase 0 carries no weight the cell is
+        # fallback-blended anyway — mu is zeroed there.
+        for a in (0, 1):
+            for b in (0, 1):
+                for ch in range(3):
+                    cell = m_cells[a][b][ch]
+                    if cell[0] is None:
+                        continue
+                    m00_0 = cell[0][:1]
+                    inv0 = jnp.where(
+                        m00_0 > 1e-8, 1.0 / jnp.maximum(m00_0, 1e-8), 0.0
+                    )
+                    cell[1] = cell[1] - sf * cell[slots] * inv0 * cell[0]
+                    cell[2] = cell[2] - sf * cell[slots + 1] * inv0 * cell[0]
 
     zero = jnp.zeros((hh, hw), jnp.float32)
 

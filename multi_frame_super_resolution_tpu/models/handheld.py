@@ -159,9 +159,15 @@ def handheld_superres(
     rgb_order = (
         cfg.merge.order if cfg.merge.rgb_order is None else cfg.merge.rgb_order
     )
+    # the oracle gathers a full (2r+1)^2 window around each nearest
+    # sample with no prune_exp compensation — keep it at the reference's
+    # 5x5 (DeBayerKernels.cu:378-427) even when the fast path's tap
+    # radius is tuned below 2 (advisor finding r4: the radius=1 default
+    # silently shrank the accumulateImagesSuperRes-parity window to 3x3)
+    oracle_radius = max(cfg.merge.radius, 2)
     if rgb_order == 1:
         moments = merge_burst_rgb(
-            burst, flows, cert, omega_inv, cfg.scale, cfg.merge.radius,
+            burst, flows, cert, omega_inv, cfg.scale, oracle_radius,
             order=1,
         )
         est, m00 = _o1_solve(moments, cfg, grad_image)
@@ -170,7 +176,7 @@ def handheld_superres(
         )
     else:
         num, den = merge_burst_rgb(
-            burst, flows, cert, omega_inv, cfg.scale, cfg.merge.radius
+            burst, flows, cert, omega_inv, cfg.scale, oracle_radius
         )
         out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
     if cfg.final_restore and cfg.scale == 2:
@@ -316,6 +322,16 @@ def _handheld_fast(
             merge_fast_pallas,
         )
 
+        if (
+            cfg.merge.order if cfg.merge.rgb_order is None else cfg.merge.rgb_order
+        ) == 1:
+            # the Pallas merge implements only the order-0 num/den
+            # accumulation — silently downgrading an order-1 request
+            # would degrade quality with no warning (advisor finding r4)
+            raise ValueError(
+                "merge.use_pallas supports only the order-0 merge; set "
+                "merge.rgb_order=0 (or order=0) alongside use_pallas"
+            )
         num, den = merge_fast_pallas(
             warped, res_flow, cert, omega_inv, cfg.scale, cfg.merge.radius,
             cfg.residual_bound, k_max=_scaled_merge_cfg(cfg).k_max,
@@ -435,10 +451,13 @@ def handheld_superres_raw(
     flows_raw = jax.vmap(lambda fl: resize(fl, h, w, "bilinear") * 2.0)(flows_half)
 
     fallback = upscale(debayer(raw_burst[0], cfg.cfa_pattern), cfg.scale, "bicubic")
+    # keep the oracle's gather window at the reference's 5x5 — see the
+    # oracle_radius note in handheld_superres (advisor finding r4)
+    oracle_radius = max(cfg.merge.radius, 2)
     if cfg.merge.order == 1:
         moments = merge_burst_raw(
             raw_burst, flows_raw, cert, omega_inv, cfg.cfa_pattern,
-            cfg.scale, cfg.merge.radius, order=1,
+            cfg.scale, oracle_radius, order=1,
         )
         est, m00 = _o1_solve(moments, cfg, grad_image)
         out = apply_weighting_order1(
@@ -447,7 +466,7 @@ def handheld_superres_raw(
     else:
         num, den = merge_burst_raw(
             raw_burst, flows_raw, cert, omega_inv, cfg.cfa_pattern,
-            cfg.scale, cfg.merge.radius,
+            cfg.scale, oracle_radius,
         )
         out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
     if cfg.final_restore and cfg.scale == 2:
@@ -653,6 +672,7 @@ def _handheld_raw_fast(
                 centroid_prune=cfg.merge.centroid_prune,
                 centroid_bf16=cfg.merge.centroid_bf16,
                 centroid_block=cfg.merge.centroid_block,
+                centroid_shared_res=cfg.merge.centroid_shared_res,
             )
             est_p, m00_p = _o1_solve(moments_p, cfg, grad_phases)
             merged = apply_weighting_order1(
@@ -682,6 +702,7 @@ def _handheld_raw_fast(
             centroid_prune=cfg.merge.centroid_prune,
             centroid_bf16=cfg.merge.centroid_bf16,
             centroid_block=cfg.merge.centroid_block,
+            centroid_shared_res=cfg.merge.centroid_shared_res,
         )
         est_p, m00_p = _o1_solve(moments_p, cfg, grad_phases)
         out_p = apply_weighting_order1(

@@ -329,8 +329,13 @@ def solve_plugin(
     ok = m00 > 1e-8
     inv = jnp.where(ok, 1.0 / jnp.maximum(m00, 1e-8), 0.0)
     pilot = b0 * inv
-    cy = m01 * inv
-    cx = m02 * inv
+    # clamp the centroid to +-2 output px: where coverage is marginal
+    # (m00 barely above the weight threshold) the ratio can reach
+    # several pixels and the correction overshoots — the exact solver
+    # has ridge + determinant guards, this is the plugin equivalent
+    # (advisor finding r4; normal-coverage centroids measure ~0.2 px)
+    cy = jnp.clip(m01 * inv, -2.0, 2.0)
+    cx = jnp.clip(m02 * inv, -2.0, 2.0)
     est = pilot
     for _ in range(max(iters, 0)):
         gy, gx = grad_fn(est)

@@ -181,21 +181,45 @@ def rotate(
     angle_rad: float,
     method: str = "bicubic",
     center: tuple | None = None,
+    expand: bool = False,
 ) -> jnp.ndarray:
-    """Rotate about the image center (same output size), equivalent of the
-    NPP rotate demo (main.cpp:394-497, boxFilterNPP.cpp:282-297)."""
+    """Rotate about the image center, equivalent of the NPP rotate demo
+    (main.cpp:394-497, boxFilterNPP.cpp:282-297).
+
+    expand=False keeps the output size (content clipped at corners).
+    expand=True grows the canvas to the rotated bounding box — the
+    nppiGetRotateBound behavior of the reference's demo
+    (boxFilterNPP.cpp:282-297) — with the rotated content centered.
+    The bound is static for a static angle, so the expanded form stays
+    jittable; ``angle_rad`` must then be a Python scalar (the output
+    SHAPE depends on it) and ``center`` is ignored."""
+    import numpy as _np
+
     h, w = img.shape[0], img.shape[1]
-    if center is None:
-        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    if expand:
+        a = float(angle_rad)
+        ca_a, sa_a = abs(_np.cos(a)), abs(_np.sin(a))
+        # epsilon guards exact multiples of 90 deg, where the rotated
+        # extent lands on an integer up to f64 rounding (5*cos(pi/2)
+        # ~ 3e-16 would otherwise ceil one pixel too far)
+        oh = int(_np.ceil(h * ca_a + w * sa_a - 1e-9))
+        ow = int(_np.ceil(w * ca_a + h * sa_a - 1e-9))
+        cy_in, cx_in = (h - 1) / 2.0, (w - 1) / 2.0
+        cy_out, cx_out = (oh - 1) / 2.0, (ow - 1) / 2.0
     else:
-        cy, cx = center
-    ys, xs = identity_grid(h, w)
+        oh, ow = h, w
+        if center is None:
+            cy_in, cx_in = (h - 1) / 2.0, (w - 1) / 2.0
+        else:
+            cy_in, cx_in = center
+        cy_out, cx_out = cy_in, cx_in
+    ys, xs = identity_grid(oh, ow)
     ca = jnp.cos(angle_rad)
     sa = jnp.sin(angle_rad)
-    yr = ys - cy
-    xr = xs - cx
-    src_y = cy + sa * xr + ca * yr
-    src_x = cx + ca * xr - sa * yr
+    yr = ys - cy_out
+    xr = xs - cx_out
+    src_y = cy_in + sa * xr + ca * yr
+    src_x = cx_in + ca * xr - sa * yr
     return remap(img, src_y, src_x, method)
 
 

@@ -72,6 +72,8 @@ def test_handheld_sr_app_end_to_end(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     monkeypatch.setenv("MFSR_BENCH_WARMUP", "1")
     monkeypatch.setenv("MFSR_BENCH_ITERS", "1")
+    monkeypatch.setenv("MFSR_BENCH_K", "2")
+    monkeypatch.setenv("MFSR_BENCH_REPS", "1")
     assert hh_app.main(["city", "2"]) == 0
     p = tmp_path / "city_handheld_sr.png"
     assert p.exists()

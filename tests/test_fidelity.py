@@ -159,7 +159,7 @@ def test_scale4_fidelity_beats_baseline():
 
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
     from eval_fidelity import make_hr_burst
 
     hr = np.asarray(load_burst("city")[0])

@@ -66,3 +66,15 @@ def test_fourier_filter_lowpass_smooths(rng):
         return s.sum()
 
     assert hf_energy(out) < 0.5 * hf_energy(img)
+
+
+def test_fftshift_signflip_centers_spectrum(rng):
+    """(-1)^(i+j) premultiply == post-FFT fftshift (kernel.cu:871-891):
+    for even dims, F{x * (-1)^(i+j)}[k] = F{x}[k - N/2]."""
+    from multi_frame_super_resolution_tpu.ops.fourier import fftshift_signflip
+
+    x = rng.random((8, 16)).astype(np.float32)
+    flipped = np.asarray(fftshift_signflip(jnp.asarray(x)))
+    got = np.fft.fft2(flipped)
+    want = np.fft.fftshift(np.fft.fft2(x))
+    np.testing.assert_allclose(got, want, atol=1e-4)

@@ -95,3 +95,23 @@ def test_resize_bicubic_upscale_smooth(rng):
     assert up.shape == (32, 32)
     # mean preserved approximately
     assert abs(up.mean() - img.mean()) < 0.01
+
+
+def test_rotate_expand_bound_and_content():
+    """expand=True grows the canvas to the rotated bounding box
+    (nppiGetRotateBound semantics, boxFilterNPP.cpp:282-297)."""
+    img = np.arange(15, dtype=np.float32).reshape(3, 5)
+    out = np.asarray(
+        rotate(jnp.asarray(img), np.pi / 2, method="nearest", expand=True)
+    )
+    # 90 deg: bounding box swaps H and W; content is the full rot90
+    assert out.shape == (5, 3)
+    np.testing.assert_allclose(out, np.rot90(img, k=1))
+    # generic angle: ceil of the rotated rect extents
+    a = 0.3
+    out2 = np.asarray(
+        rotate(jnp.asarray(img), a, method="bilinear", expand=True)
+    )
+    eh = int(np.ceil(3 * np.cos(a) + 5 * np.sin(a)))
+    ew = int(np.ceil(5 * np.cos(a) + 3 * np.sin(a)))
+    assert out2.shape == (eh, ew)

@@ -16,12 +16,13 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_interleave_ctx.py
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():

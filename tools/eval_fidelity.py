@@ -22,11 +22,12 @@ RobustnessConfig / HandheldConfig fields). Special keys:
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_hr_burst(hr, num_frames=5, seed=7, max_shift_hr=3.0, max_rot=0.01,

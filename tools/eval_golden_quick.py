@@ -9,11 +9,12 @@ recalibrate the golden floors. Usage:
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

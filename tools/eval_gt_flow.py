@@ -16,12 +16,13 @@ Usage: PYTHONPATH=/root/repo:... python tools/eval_gt_flow.py [k_min=..]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from eval_fidelity import make_hr_burst, parse_variant  # noqa: E402
 

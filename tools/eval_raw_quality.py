@@ -5,9 +5,10 @@ k_min_rb values. Prints PSNR of downsample2(out) vs the reference frame
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 

@@ -8,11 +8,12 @@ hide. Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/micro_r3.py
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():

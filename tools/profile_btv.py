@@ -7,11 +7,12 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_btv.py
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():

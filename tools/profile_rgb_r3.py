@@ -7,6 +7,7 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_rgb_r3.py [k]
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 
 import numpy as np
@@ -154,5 +155,5 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     main()

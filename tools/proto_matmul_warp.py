@@ -12,11 +12,12 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/proto_matmul_warp.py
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def matmul_warp(img, int_shifts, tile):

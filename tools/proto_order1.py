@@ -15,12 +15,13 @@ Run: PYTHONPATH=/root/repo python tools/proto_order1.py [lam ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from eval_fidelity import make_hr_burst  # noqa: E402
 from eval_gt_flow import gt_backward_flow_raw  # noqa: E402

@@ -17,9 +17,10 @@ Run: JAX_PLATFORMS=cpu python tools/proto_projection_estimator.py
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

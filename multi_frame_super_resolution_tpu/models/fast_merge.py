@@ -549,6 +549,9 @@ def _merge_planes_order1(
     f = planes.shape[0]
     hh, hw = planes.shape[-2], planes.shape[-1]
     nph = s * s
+    # shared_res is a refinement OF the block-center centroid form (its
+    # slots are only filled in that branch) — it implies centroid_block
+    centroid_block = centroid_block or centroid_shared_res
     phi_y = np.repeat(phi, s)  # (nph,) phase row offset, ph = py*s + px
     phi_x = np.tile(phi, s)
     phiy_b = jnp.asarray(phi_y * s, jnp.float32).reshape(nph, 1, 1, 1)
@@ -764,7 +767,9 @@ def _merge_planes_order1(
             for b in (0, 1):
                 for ch in range(3):
                     cell = m_cells[a][b][ch]
-                    if cell[0] is None:
+                    if cell[0] is None or cell[slots] is None:
+                        # cell untouched, or every tap of this cell was
+                        # outside centroid_taps (no residual slots)
                         continue
                     m00_0 = cell[0][:1]
                     inv0 = jnp.where(

@@ -7,10 +7,13 @@ no-deconvolution ceiling is PSNR(HR, box2*HR) = 31.0 dB while the
 order-1 merge reaches ~30.3 dB vs box2*HR. This module applies a FIXED
 7x7 FIR fitted by tools/fit_restore.py: a radially-binned Wiener gain
 g(w) = <HR.S*>/<|S|^2> computed on a calibration burst (city, seed 7),
-inverse-transformed and DC-normalized. Measured transfer on held-out
-bursts: city seed19 +0.58 dB, car-scene burst +0.97 dB, calib +0.54 dB;
-noisy-HR iso burst -0.19 dB (sharpening vs noise tradeoff — disable via
-HandheldConfig.final_restore for very noisy inputs).
+inverse-transformed and DC-normalized. The SHIPPED kernel is the
+DC-renormalized rank-2 truncated SVD of that fit (round 5): it measures
+BETTER than the full fit (27.66 vs 27.58 dB true-HR — the rank tail is
+fit noise) and lowers separably. Measured transfer of the full fit on
+held-out bursts: city seed19 +0.58 dB, car-scene burst +0.97 dB, calib
++0.54 dB; noisy-HR iso burst -0.19 dB (sharpening vs noise tradeoff —
+disable via HandheldConfig.final_restore for very noisy inputs).
 
 The reference pipeline also sharpens its SR output unconditionally
 (sharpenImg2 Laplacian after BTVL1, multi_frame_sr.cpp:207-209;
@@ -32,7 +35,7 @@ import numpy as np
 
 # fit by tools/fit_restore.py on the order-1 fast RAW pipeline output
 # (city burst, seed 7, 2x); DC-normalized, 4-fold symmetric
-RESTORE_KERNEL = np.array([
+RESTORE_KERNEL_FIT = np.array([
     [0.004845, -0.028202, -0.016631, -0.007837, -0.016631, -0.028202, 0.004845],
     [-0.028286, -0.001758, -0.025565, -0.048270, -0.025565, -0.001758, -0.028286],
     [-0.016577, -0.025510, 0.010336, 0.234416, 0.010336, -0.025510, -0.016577],
@@ -41,6 +44,23 @@ RESTORE_KERNEL = np.array([
     [-0.028286, -0.001758, -0.025565, -0.048270, -0.025565, -0.001758, -0.028286],
     [0.004845, -0.028202, -0.016631, -0.007837, -0.016631, -0.028202, 0.004845],
 ], dtype=np.float32)
+
+# EFFECTIVE kernel (round 5): the DC-renormalized rank-2 truncated SVD of
+# the fit. Measured BETTER than the full fit on the true-HR protocol
+# (27.66 vs 27.58 dB — the rank tail is mostly fit noise) and exactly
+# separable, so the polyphase form lowers as two 1-D passes per rank:
+# 448 slice-FMA terms instead of 784 at n=4.
+_U, _S, _Vt = np.linalg.svd(RESTORE_KERNEL_FIT.astype(np.float64))
+_K2 = (_U[:, :2] * _S[:2]) @ _Vt[:2]
+RESTORE_KERNEL = (_K2 / _K2.sum()).astype(np.float32)
+# rank factors: sum_r outer(uy_r, vx_r) == RESTORE_KERNEL
+RESTORE_FACTORS = tuple(
+    (
+        (_U[:, r] * _S[r] / _K2.sum()).astype(np.float32),
+        _Vt[r].astype(np.float32),
+    )
+    for r in range(2)
+)
 
 
 def _shift_last2(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
@@ -99,7 +119,10 @@ def restore_phases(planes: jnp.ndarray, kernel: np.ndarray | None = None) -> jnp
     XLA minutes to fuse — the single shared pad is what makes this form
     compile fast, not the op count.
     """
-    k = RESTORE_KERNEL if kernel is None else kernel
+    if kernel is None:
+        # the default kernel is exactly rank-2 — lower it separably
+        return _restore_phases_separable(planes, RESTORE_FACTORS)
+    k = kernel
     n, _, c, h, w = planes.shape
     wk, m_rad = _polyphase_conv_kernel(np.asarray(k, np.float32), n)
     # edge-clamped halo mirrors _shift_last2's replicate border
@@ -121,6 +144,71 @@ def restore_phases(planes: jnp.ndarray, kernel: np.ndarray | None = None) -> jnp
                     acc = term if acc is None else acc + term
         outs.append(acc)
     return jnp.stack(outs, 0).reshape(n, n, c, h, w)
+
+
+def _polyphase_taps_1d(v: np.ndarray, n: int):
+    """1-D polyphase tap table for total upsampling factor n:
+    W[p, q, m] such that out_p[i] = sum_q sum_m W[p,q,m] plane_q[i+m]
+    (spatial index offset by +m_rad)."""
+    kh = len(v)
+    r = kh // 2
+    m_rad = (r + n - 1) // n
+    w = np.zeros((n, n, 2 * m_rad + 1), np.float32)
+    for p in range(n):
+        for t in range(-r, r + 1):
+            q, m = (p - t) % n, (p - t) // n
+            w[p, q, m + m_rad] += v[t + r]
+    return w, m_rad
+
+
+def _restore_phases_separable(planes: jnp.ndarray, factors) -> jnp.ndarray:
+    """Separable polyphase restoration: for each rank (uy, vx) run a 1-D
+    x-pass then a 1-D y-pass over the phase planes and sum the ranks.
+    Each pass is 7 static slice x scalar FMAs per output phase (vs 49 for
+    the dense polyphase), with the same per-plane edge clamp."""
+    n = planes.shape[0]
+    h, w = planes.shape[-2], planes.shape[-1]
+    out = None
+    for uy, vx in factors:
+        wx, mx_rad = _polyphase_taps_1d(np.asarray(vx, np.float32), n)
+        wy, my_rad = _polyphase_taps_1d(np.asarray(uy, np.float32), n)
+        xpad = jnp.pad(
+            planes,
+            ((0, 0),) * 4 + ((mx_rad, mx_rad),),
+            mode="edge",
+        )
+        xp = []  # x-filtered, indexed by out x-phase
+        for p in range(n):
+            acc = None
+            for q in range(n):
+                for m in range(2 * mx_rad + 1):
+                    coef = float(wx[p, q, m])
+                    if coef == 0.0:
+                        continue
+                    term = coef * xpad[:, q, ..., m : m + w]
+                    acc = term if acc is None else acc + term
+            xp.append(acc)  # (n_yin, C, H, W)
+        ypad = [
+            jnp.pad(
+                x, ((0, 0), (0, 0), (my_rad, my_rad), (0, 0)), mode="edge"
+            )
+            for x in xp
+        ]
+        for p in range(n):
+            for px in range(n):
+                acc = None
+                for q in range(n):
+                    for m in range(2 * my_rad + 1):
+                        coef = float(wy[p, q, m])
+                        if coef == 0.0:
+                            continue
+                        term = coef * ypad[px][q, :, m : m + h]
+                        acc = term if acc is None else acc + term
+                if out is None:
+                    out = [[None] * n for _ in range(n)]
+                cur = out[p][px]
+                out[p][px] = acc if cur is None else cur + acc
+    return jnp.stack([jnp.stack(row, 0) for row in out], 0)
 
 
 def _polyphase_conv_kernel(k: np.ndarray, n: int):

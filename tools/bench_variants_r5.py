@@ -115,7 +115,7 @@ def main():
             print(f"[rep {rep}] {name:44s} {ms:6.3f} ms", flush=True)
     print("--- medians ---")
     for name, vals in results.items():
-        mp = 0.524288 / (float(np.median(vals)) / 1e3) / 1e6 * 1e3
+        mp = 0.524288 / (float(np.median(vals)) / 1e3)
         print(f"{name:44s} {float(np.median(vals)):6.3f} ms  ({mp:5.0f} MP/s)")
 
 

@@ -343,6 +343,15 @@ class HandheldConfig:
     # (sharpenImg2, multi_frame_sr.cpp:207-209). Applied only at
     # scale=2 (the calibration point).
     final_restore: bool = True
+    # fast paths: apply the integer tile warp as banded MXU selector
+    # matmuls (warp_fast.tile_warp_matmul) instead of per-plane one-hot
+    # VPU selects — the selection matrices are built once per frame and
+    # shared by its planes, and the contraction runs on the MXU.
+    # Round-5 measurements: throughput-neutral (1.428 vs 1.435 ms k=64)
+    # and +0.21 dB true-HR (27.87 vs 27.66) because the matmul form is
+    # EXACT — the one-hot form's two-level decomposition mis-warps
+    # tile-crossing bands at bound > 6.
+    warp_matmul: bool = True
     # global similarity pre-alignment (FFT log-polar rotation/scale +
     # translation per alternate, registration/prealign.py) before the
     # tile pyramid — the reference's baseShift/baseRotation tile model

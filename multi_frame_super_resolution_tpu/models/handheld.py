@@ -257,15 +257,25 @@ def _handheld_fast(
     # channel-LEADING plane stack: warping (H, W, C) directly puts C
     # on the 128-padded lane dim (see prealign.apply_burst_similarity)
     c = burst.shape[-1]
-    stack = burst[1:].transpose(0, 3, 1, 2).reshape((f - 1) * c, h, w)
-    ints_rep = jnp.repeat(int_shifts[1:], c, axis=0)
-    warped_alts = (
-        jax.vmap(lambda fr, ints: tile_warp_select(fr, ints, warp_t))(
-            stack, ints_rep
+    stack = burst[1:].transpose(0, 3, 1, 2)  # (f-1, c, h, w)
+    if cfg.warp_matmul:
+        from multi_frame_super_resolution_tpu.ops.warp_fast import (
+            tile_warp_matmul,
         )
-        .reshape(f - 1, c, h, w)
-        .transpose(0, 2, 3, 1)
-    )
+
+        warped_alts = jax.vmap(
+            lambda fr, ints: tile_warp_matmul(fr, ints, warp_t)
+        )(stack, int_shifts[1:]).transpose(0, 2, 3, 1)
+    else:
+        stack2 = stack.reshape((f - 1) * c, h, w)
+        ints_rep = jnp.repeat(int_shifts[1:], c, axis=0)
+        warped_alts = (
+            jax.vmap(lambda fr, ints: tile_warp_select(fr, ints, warp_t))(
+                stack2, ints_rep
+            )
+            .reshape(f - 1, c, h, w)
+            .transpose(0, 2, 3, 1)
+        )
     warped = jnp.concatenate([burst[:1], warped_alts], axis=0)
     if cfg.prealign:
         valid_w = warped[..., 3]
@@ -569,11 +579,22 @@ def _handheld_raw_fast(
         # warp so invalid (out-of-source) regions stay registered with
         # the content they annotate
         stack = jnp.concatenate([stack, prevalid[1:, None]], axis=1)
-    stack = stack.reshape((f - 1) * nst, hh, hw)
-    ints_rep = jnp.repeat(int_half[1:], nst, axis=0)
-    warped_stack = jax.vmap(
-        lambda fr, ints: tile_warp_select(fr, ints, t, bound=16)
-    )(stack, ints_rep).reshape(f - 1, nst, hh, hw)
+    if cfg.warp_matmul:
+        # banded MXU selector matmuls: selection matrices built once per
+        # frame, shared by its nst planes (warp_fast.tile_warp_matmul)
+        from multi_frame_super_resolution_tpu.ops.warp_fast import (
+            tile_warp_matmul,
+        )
+
+        warped_stack = jax.vmap(
+            lambda fr, ints: tile_warp_matmul(fr, ints, t, bound=16)
+        )(stack, int_half[1:])
+    else:
+        stack2 = stack.reshape((f - 1) * nst, hh, hw)
+        ints_rep = jnp.repeat(int_half[1:], nst, axis=0)
+        warped_stack = jax.vmap(
+            lambda fr, ints: tile_warp_select(fr, ints, t, bound=16)
+        )(stack2, ints_rep).reshape(f - 1, nst, hh, hw)
     warped_alts = warped_stack[:, :4].reshape(f - 1, 2, 2, hh, hw)
     valid_w = None if prevalid is None else warped_stack[:, 4]
     warped = jnp.concatenate([planes[:1], warped_alts], axis=0)

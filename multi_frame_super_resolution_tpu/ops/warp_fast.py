@@ -574,6 +574,74 @@ def tile_warp_select(
     return _axis_onehot_shift(out, sx, bound, axis=1)
 
 
+def tile_warp_matmul(
+    imgs: jnp.ndarray,
+    int_shifts: jnp.ndarray,
+    tile_size: int,
+    bound: int = 16,
+    precision="high",
+) -> jnp.ndarray:
+    """Per-tile integer-shift warp as banded MXU selector matmuls.
+
+    Same function as ``tile_warp_select`` (out[y, x] = img[clamp(y + sy),
+    clamp(x + sx)] with the per-tile shifts clamped to +-bound), but the
+    per-axis one-hot select is expressed as a 0/1 SELECTION MATRIX
+    contraction: within one tile-column band the row selection is the
+    same (h, h) matrix for every column, so the y pass is one batched
+    matmul over the ntx bands — and likewise the x pass over the nty
+    bands. The selection matrices are built once per shift field and
+    shared by every plane in ``imgs``, so the per-plane cost is pure MXU
+    work (~250 MMACs at city half-res vs ~30 one-hot VPU passes; the
+    one-hot form rebuilds its masks per plane). Numerically exact for a
+    0/1 selector up to matmul-precision operand rounding: "high"
+    reconstructs f32 products to ~1e-6, like the phase interleave.
+
+    imgs: (N, H, W) planes sharing ONE shift field (e.g. the CFA planes
+    + validity mask of one frame); int_shifts (nty, ntx, 2) int32.
+    Reference: the tile warps of convertToTilesOverlapPreShift
+    (kernel.cu:323-378) — here as dense selector contractions instead of
+    per-tile SIMT copies.
+    """
+    n, h, w = imgs.shape
+    t = tile_size
+    ints = jnp.clip(int_shifts, -bound, bound)
+    nty, ntx = ints.shape[0], ints.shape[1]
+    # pad W (and H) to full tile multiples so band reshapes are exact;
+    # edge-pad keeps the clamp semantics for the overhanging pixels
+    hp, wp = nty * t, ntx * t
+    if hp != h or wp != w:
+        imgs = jnp.pad(imgs, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+
+    rows = jnp.arange(hp)
+    # y selector per tile-COLUMN band j: S_y[j, i, s] = 1 iff
+    # s == clamp(i + sy(tile_of(i), j), 0, h-1); clamp to the REAL h so
+    # the pad rows replicate row h-1 like the one-hot form's edge clamp
+    sy_rows = jnp.repeat(ints[..., 0], t, axis=0)  # (hp, ntx)
+    src_y = jnp.clip(rows[:, None] + sy_rows, 0, h - 1)  # (hp, ntx)
+    sel_y = (
+        (src_y.T[:, :, None] == rows[None, None, :hp]).astype(imgs.dtype)
+    )  # (ntx, hp_dst, hp_src)
+
+    cols = jnp.arange(wp)
+    sx_cols = jnp.repeat(ints[..., 1], t, axis=1)  # (nty, wp)
+    src_x = jnp.clip(cols[None, :] + sx_cols, 0, w - 1)  # (nty, wp)
+    sel_x = (
+        (src_x[:, None, :] == cols[None, :wp, None]).astype(imgs.dtype)
+    )  # (nty, wp_src, wp_dst)
+
+    # y pass: band the columns by tile, contract source rows
+    xb = imgs.reshape(n, hp, ntx, t)
+    yb = jnp.einsum(
+        "jis,nsjt->nijt", sel_y, xb, precision=precision
+    ).reshape(n, hp, wp)
+    # x pass: band the rows by tile, contract source columns
+    rb = yb.reshape(n, nty, t, wp)
+    out = jnp.einsum(
+        "nrts,rsv->nrtv", rb, sel_x, precision=precision
+    ).reshape(n, hp, wp)
+    return out[:, :h, :w]
+
+
 def tile_warp_int(
     img: jnp.ndarray, int_shifts: jnp.ndarray, tile_size: int
 ) -> jnp.ndarray:

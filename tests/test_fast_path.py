@@ -165,6 +165,60 @@ def test_btvl1_fast_matches_slow(rng):
     assert p > 35.0, p
 
 
+def test_tile_warp_matmul_exact_separable(rng):
+    """The banded MXU selector-matmul warp equals the EXACT separable
+    per-tile semantics out[y, x] = img[clamp(y+sy), clamp(x+sx)] for
+    batched planes sharing one shift field — including non-tile-multiple
+    sizes, border clamps, and bounds where tile_warp_select's two-level
+    one-hot decomposition mis-warps tile-crossing bands (its documented
+    approximation; the matmul form has no such band)."""
+    from multi_frame_super_resolution_tpu.ops.warp_fast import (
+        tile_warp_matmul,
+        tile_warp_select,
+    )
+
+    for (h, w, t, bound) in (
+        (32, 48, 16, 8),
+        (40, 56, 16, 16),
+        (32, 32, 8, 6),
+    ):
+        imgs = rng.random((3, h, w)).astype(np.float32)
+        shifts = rng.integers(
+            -bound, bound + 1, (-(-h // t), -(-w // t), 2)
+        ).astype(np.int32)
+        got = np.asarray(
+            tile_warp_matmul(
+                jnp.asarray(imgs), jnp.asarray(shifts), t, bound=bound,
+                precision="highest",
+            )
+        )
+        sy = np.repeat(np.repeat(shifts[..., 0], t, 0), t, 1)[:h, :w]
+        sx = np.repeat(np.repeat(shifts[..., 1], t, 0), t, 1)[:h, :w]
+        y1 = imgs[
+            :, np.clip(np.arange(h)[:, None] + sy, 0, h - 1),
+            np.arange(w)[None, :],
+        ]
+        want = y1[
+            :, np.arange(h)[:, None],
+            np.clip(np.arange(w)[None, :] + sx, 0, w - 1),
+        ]
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        if bound <= 6:
+            # direct one-hot path: select and matmul coincide exactly
+            sel = np.stack(
+                [
+                    np.asarray(
+                        tile_warp_select(
+                            jnp.asarray(imgs[i]), jnp.asarray(shifts), t,
+                            bound=bound,
+                        )
+                    )
+                    for i in range(3)
+                ]
+            )
+            np.testing.assert_allclose(got, sel, atol=1e-6)
+
+
 def test_tile_warp_select_uniform_exact(rng):
     from multi_frame_super_resolution_tpu.ops.warp_fast import (
         tile_warp_select,

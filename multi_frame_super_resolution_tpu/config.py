@@ -208,6 +208,24 @@ class MergeConfig:
     # still fold exactly (as scalars); only the sub-block flow
     # VARIATION is dropped from the centroid (not from the weights).
     centroid_block: bool = False
+    # plugin solver: drop the CERTAINTY factor from the centroid moments
+    # (weights only). The centroid is a weight RATIO — smooth certainty
+    # variation cancels between numerator and denominator — and without
+    # cert the block-center centroid is IDENTICAL for every CFA parity
+    # (the Gaussian weight never depends on the output parity, only on
+    # tap and phase): the whole centroid collapses from 16 per-cell
+    # accumulator chains to 3 shared ones (sum w, sum res_y*w, sum
+    # res_x*w per green/rb kernel family), making the order-1 correction
+    # nearly free on top of the order-0 merge. Where a frame is
+    # motion-masked (cert ~ 0) its weight still counts toward the shared
+    # centroid — a second-order error in an already-small (<~0.2 px)
+    # correction; fidelity measured round 5 (tools/eval_fidelity.py):
+    # true-HR 26.88 dB both ways at matched settings, goldens city
+    # 30.36/30.36, car 30.62/30.56, iso 22.58/22.63 — quality-free, and
+    # the k=16 variant bench measured the certless default ~0.3-0.6 ms
+    # faster at city size. False (default) = shared certless centroid
+    # (implies centroid_block; block-center weights).
+    centroid_cert: bool = False
     # plugin solver (centroid_block form only): reduce the weighted-mean-
     # residual part of the centroid (sum_F res*wc) at ONE phase and share
     # it across the s^2 output phases. The per-phase phi offsets still
@@ -343,6 +361,22 @@ class HandheldConfig:
     # (sharpenImg2, multi_frame_sr.cpp:207-209). Applied only at
     # scale=2 (the calibration point).
     final_restore: bool = True
+    # noise-adaptive restoration (round 5): scale the restore FIR by a
+    # gain from the REGISTERED temporal noise statistic
+    # (ops.restore.temporal_noise_stat — the data-driven analog of the
+    # reference's sigma_md noise model, RobustnessModell.cu:130-132):
+    # full strength below restore_gate_lo, off above restore_gate_hi.
+    # Spatial (Laplacian/MAD) estimators cannot arbitrate here — a
+    # detailed clean burst outscores the noisy iso burst on them
+    # (round-5 measurement); the compensated temporal statistic
+    # separates the measured cases (tools/calib_restore_gate.py,
+    # half-res luma): car 0.0006, city 0.0102, clean synthetic 0.0120,
+    # synthetic+sigma-0.02 read noise 0.0168 (restore still helps ALL
+    # of these: +0.6 to +1.3 dB) vs iso 0.0224 (restore hurts,
+    # -0.3 dB). Thresholds sit between the populations.
+    restore_noise_gate: bool = True
+    restore_gate_lo: float = 0.014
+    restore_gate_hi: float = 0.020
     # fast paths: apply the integer tile warp as banded MXU selector
     # matmuls (warp_fast.tile_warp_matmul) instead of per-plane one-hot
     # VPU selects — the selection matrices are built once per frame and

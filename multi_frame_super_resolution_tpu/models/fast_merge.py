@@ -320,6 +320,7 @@ def merge_burst_raw_planes(
     centroid_bf16: bool = False,
     centroid_block: bool = False,
     centroid_shared_res: bool = False,
+    centroid_cert: bool = True,
 ) -> Tuple[jnp.ndarray, ...]:
     """CFA-aware merge on half-resolution planes
     (accumulateImagesSuperRes equivalent, DeBayerKernels.cu:378-468).
@@ -418,6 +419,7 @@ def merge_burst_raw_planes(
             slots=moment_slots, exact_weights=exact_weights,
             centroid_bf16=centroid_bf16, centroid_block=centroid_block,
             centroid_shared_res=centroid_shared_res,
+            centroid_cert=centroid_cert,
             centroid_taps=(
                 None
                 if centroid_prune is None
@@ -517,6 +519,7 @@ def _merge_planes_order1(
     centroid_bf16: bool = False,
     centroid_block: bool = False,
     centroid_shared_res: bool = False,
+    centroid_cert: bool = True,
 ):
     """Stacked-phase rho-fold accumulation for the order-1 plane merge.
 
@@ -549,6 +552,13 @@ def _merge_planes_order1(
     f = planes.shape[0]
     hh, hw = planes.shape[-2], planes.shape[-1]
     nph = s * s
+    # certless shared centroid (MergeConfig.centroid_cert=False): the
+    # block-center Gaussian weight is PARITY-independent, so without the
+    # certainty factor the centroid moments are identical for every
+    # (parity, channel) cell of a kernel family — three shared
+    # accumulator chains per family replace 2 chains x 16 cells. Only
+    # meaningful for the plugin (slots=4) solver.
+    certless = slots == 4 and not centroid_cert and not exact_weights
     # shared_res is a refinement OF the block-center centroid form (its
     # slots are only filled in that branch) — it implies centroid_block
     centroid_block = centroid_block or centroid_shared_res
@@ -586,7 +596,7 @@ def _merge_planes_order1(
         rho_x = {b: rho_stack(resX1, b, phi, "x") for b in (0, 1)}
     else:
         rho_y = rho_x = None
-    if slots == 4 and not centroid_block:
+    if slots == 4 and not centroid_block and not certless:
         # COMPACT parity-rho fields (s, F, hh, hw): the (nph, ...) stacks
         # above repeat/tile these along the phase axis, and XLA
         # materializes that repeat when it feeds a per-tap product —
@@ -619,6 +629,19 @@ def _merge_planes_order1(
     n_slots = slots + (2 if centroid_shared_res else 0)
     m_cells = [[[[None] * n_slots for _ in range(3)] for _ in range(2)]
                for _ in range(2)]
+    # certless shared centroid chains, each (nph, hh, hw). A cell
+    # (a, b, ch) accumulates only taps whose source parity carries its
+    # channel, so chains are keyed by TAP PARITY: green taps of a cell
+    # class share (ky+kx) % 2 (the two green CFA positions differ by
+    # (1,1)), and single-position channels (R/B) share (ky%2, kx%2) —
+    # 2 + 4 chains of (sum w, folded m01, m02) serve all 16 cells.
+    if certless:
+        cshared = {
+            **{("g", c): [None] * 3 for c in (0, 1)},
+            **{("rb", ty, tx): [None] * 3 for ty in (0, 1) for tx in (0, 1)},
+        }
+    else:
+        cshared = None
 
     for ky, kx in taps:
         if not exact_weights:
@@ -628,6 +651,28 @@ def _merge_planes_order1(
             dx_w = v[None] - phix_b
             w_g = quadp(dx_w, dy_w, omega_inv)
             w_rb = quadp(dx_w, dy_w, omega_inv_rb)
+            if certless:
+                # shared certless centroid: one set of reduces per
+                # (kernel family, tap parity) chain serves every cell
+                # reading that chain (the block-center weight is
+                # parity-independent; phi and the tap index fold as
+                # per-phase scalars). When omega_inv_rb == omega_inv
+                # (default k_min_rb <= k_min) XLA CSEs the families.
+                for cid, wf in (
+                    (("g", (ky + kx) % 2), w_g),
+                    (("rb", ky % 2, kx % 2), w_rb),
+                ):
+                    red_w = wf.sum(1, dtype=jnp.float32)
+                    red_ry = (res_y * wf).sum(1, dtype=jnp.float32)
+                    red_rx = (res_x * wf).sum(1, dtype=jnp.float32)
+                    terms = (
+                        red_w,
+                        sf * ((float(ky) - phiy_r) * red_w - red_ry),
+                        sf * ((float(kx) - phix_r) * red_w - red_rx),
+                    )
+                    cell = cshared[cid]
+                    for i, red in enumerate(terms):
+                        cell[i] = red if cell[i] is None else cell[i] + red
         # query-point displacements, shared across b / a respectively
         # (slots==4 folds ky/kx as scalars instead — no fields needed)
         if slots != 4 or exact_weights:
@@ -659,6 +704,13 @@ def _merge_planes_order1(
                 wc = w * cert_s[None]
                 wcv = wc * val[None]
                 cell = m_cells[a][b][ch]
+                if certless:
+                    # per-cell work is exactly the order-0 merge; the
+                    # centroid lives in the shared chains above
+                    for i, term in ((0, wc), (3, wcv)):
+                        red = term.sum(1, dtype=jnp.float32)
+                        cell[i] = red if cell[i] is None else cell[i] + red
+                    continue
                 if slots == 4 and centroid_taps is not None and (
                     (ky, kx) not in centroid_taps
                 ):
@@ -801,6 +853,62 @@ def _merge_planes_order1(
                         )
                 rows.append(jnp.stack(cols, 0))
         return jnp.stack(rows, 0)  # (2s, 2s, 3, hh, hw)
+
+    if certless:
+        # finalize the shared centroid to PRECOMPUTED (cy, cx) fields in
+        # the same (2s, 2s, 3, hh, hw) layout (consumed by
+        # merge.solve_plugin with precomputed_centroid=True). Cell
+        # (a, b, ch) reads the chain whose tap-parity subset carries its
+        # channel: for a single-position channel at CFA position
+        # (pa, pb), taps with ky = pa - a, kx = pb - b (mod 2); for
+        # green, taps with (ky + kx) = (pa + pb - a - b) (mod 2).
+        cent = {}
+        for cid, cell in cshared.items():
+            wsum, m1, m2 = cell
+            if wsum is None:
+                cent[cid] = None
+                continue
+            inv = jnp.where(wsum > 1e-8, 1.0 / jnp.maximum(wsum, 1e-8), 0.0)
+            cent[cid] = (
+                jnp.clip(m1 * inv, -2.0, 2.0),
+                jnp.clip(m2 * inv, -2.0, 2.0),
+            )
+        pos = {int(pat[qa][qb]): (qa, qb) for qa in (0, 1) for qb in (0, 1)}
+        g_pos = [(qa, qb) for qa in (0, 1) for qb in (0, 1)
+                 if int(pat[qa][qb]) == 1]
+
+        def chain_for(a, b, ch):
+            if ch == 1:
+                if not g_pos:
+                    return None
+                pa, pb = g_pos[0]
+                return cent[("g", (pa + pb - a - b) % 2)]
+            if ch not in pos:
+                return None
+            pa, pb = pos[ch]
+            return cent[("rb", (pa - a) % 2, (pb - b) % 2)]
+
+        zero2 = (zero, zero)
+
+        def stack_c(idx):
+            rows = []
+            for a in (0, 1):
+                for py in range(s):
+                    cols = []
+                    for b in (0, 1):
+                        for px in range(s):
+                            ph = py * s + px
+                            cols.append(jnp.stack(
+                                [
+                                    (chain_for(a, b, ch) or zero2)[idx][ph]
+                                    for ch in range(3)
+                                ],
+                                0,
+                            ))
+                    rows.append(jnp.stack(cols, 0))
+            return jnp.stack(rows, 0)
+
+        return (stack_m(0), stack_c(0), stack_c(1), stack_m(3))
 
     return tuple(stack_m(k) for k in range(slots))
 

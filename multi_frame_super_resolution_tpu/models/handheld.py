@@ -44,13 +44,44 @@ from multi_frame_super_resolution_tpu.registration.align import (
 from multi_frame_super_resolution_tpu.registration.lucas_kanade import lk_refine
 
 
-def _o1_solve(moments, cfg, grad_fn):
+def _gated_restore(out, cfg, stat, restore_fn):
+    """Apply the restoration FIR scaled by the noise-adaptive gain
+    (ops.restore.restore_gain) when cfg.restore_noise_gate, else at full
+    strength. ``stat`` is the registered temporal noise statistic (or
+    None to force full strength); restore is linear, so the gated form
+    is an exact lerp out + g*(restore(out) - out)."""
+    restored = restore_fn(out)
+    if not cfg.restore_noise_gate or stat is None:
+        return restored
+    from multi_frame_super_resolution_tpu.ops.restore import restore_gain
+
+    g = restore_gain(stat, cfg.restore_gate_lo, cfg.restore_gate_hi)
+    return out + g * (restored - out)
+
+
+def _certless(cfg):
+    """True when the fast RAW merge runs the certless shared centroid
+    (MergeConfig.centroid_cert=False under the plugin solver) and
+    therefore returns precomputed (cy, cx) in moment slots 1/2."""
+    return (
+        cfg.merge.solver == "plugin"
+        and not cfg.merge.centroid_cert
+        and not cfg.merge.exact_weights
+    )
+
+
+def _o1_solve(moments, cfg, grad_fn, precomputed_centroid=False):
     """MergeConfig.solver dispatch for the order-1 merge: the exact 3x3
     normal-equation solve, or the plugin-gradient centroid-bias
     correction (merge.solve_plugin) whose gradient comes from the pilot
-    image in the caller's own layout (grad_image / grad_phases)."""
+    image in the caller's own layout (grad_image / grad_phases).
+    ``precomputed_centroid``: the fast RAW merge's certless shared
+    centroid already returns finalized (cy, cx) in slots 1/2."""
     if cfg.merge.solver == "plugin":
-        return solve_plugin(moments, grad_fn, cfg.merge.plugin_iters)
+        return solve_plugin(
+            moments, grad_fn, cfg.merge.plugin_iters,
+            precomputed_centroid=precomputed_centroid,
+        )
     return solve_order1(moments, cfg.merge.ridge)
 
 
@@ -180,9 +211,20 @@ def handheld_superres(
         )
         out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
     if cfg.final_restore and cfg.scale == 2:
-        from multi_frame_super_resolution_tpu.ops.restore import restore_image
+        from multi_frame_super_resolution_tpu.ops.geometry import downsample2
+        from multi_frame_super_resolution_tpu.ops.restore import (
+            restore_image,
+            temporal_noise_stat,
+        )
 
-        out = restore_image(out)
+        # oracle path: frames are unwarped — register by rounded flow
+        # inside the statistic; half-res luma matches the gate's
+        # calibration scale (see HandheldConfig.restore_gate_lo)
+        stat = temporal_noise_stat(
+            jax.vmap(downsample2)(gray),
+            jax.vmap(lambda fl: downsample2(fl) * 0.5)(flows),
+        )
+        out = _gated_restore(out, cfg, stat, restore_image)
     if cfg.gamma:
         out = srgb_gamma(out)
     return jnp.clip(out, 0.0, 1.0)
@@ -389,9 +431,14 @@ def _handheld_fast(
         if cfg.final_restore and cfg.scale == 2:
             from multi_frame_super_resolution_tpu.ops.restore import (
                 restore_phases,
+                temporal_noise_stat,
             )
 
-            out_p = restore_phases(out_p)
+            stat = temporal_noise_stat(
+                jax.vmap(downsample2)(rgb_to_gray(warped)),
+                residual=jax.vmap(downsample2)(res_flow[1:]) * 0.5,
+            )
+            out_p = _gated_restore(out_p, cfg, stat, restore_phases)
         out = interleave_phases_planes_mxu(out_p, precision="high")
     if cfg.gamma:
         out = srgb_gamma(out)
@@ -480,9 +527,13 @@ def handheld_superres_raw(
         )
         out = apply_weighting(num, den, fallback, cfg.merge.weight_threshold)
     if cfg.final_restore and cfg.scale == 2:
-        from multi_frame_super_resolution_tpu.ops.restore import restore_image
+        from multi_frame_super_resolution_tpu.ops.restore import (
+            restore_image,
+            temporal_noise_stat,
+        )
 
-        out = restore_image(out)
+        stat = temporal_noise_stat(gray_half, flows_half)
+        out = _gated_restore(out, cfg, stat, restore_image)
     if cfg.gamma:
         out = srgb_gamma(out)
     return jnp.clip(out, 0.0, 1.0)
@@ -694,8 +745,12 @@ def _handheld_raw_fast(
                 centroid_bf16=cfg.merge.centroid_bf16,
                 centroid_block=cfg.merge.centroid_block,
                 centroid_shared_res=cfg.merge.centroid_shared_res,
+                centroid_cert=cfg.merge.centroid_cert,
             )
-            est_p, m00_p = _o1_solve(moments_p, cfg, grad_phases)
+            est_p, m00_p = _o1_solve(
+                moments_p, cfg, grad_phases,
+                precomputed_centroid=_certless(cfg),
+            )
             merged = apply_weighting_order1(
                 est_p, m00_p, fb, cfg.merge.weight_threshold
             )
@@ -724,8 +779,12 @@ def _handheld_raw_fast(
             centroid_bf16=cfg.merge.centroid_bf16,
             centroid_block=cfg.merge.centroid_block,
             centroid_shared_res=cfg.merge.centroid_shared_res,
+            centroid_cert=cfg.merge.centroid_cert,
         )
-        est_p, m00_p = _o1_solve(moments_p, cfg, grad_phases)
+        est_p, m00_p = _o1_solve(
+            moments_p, cfg, grad_phases,
+            precomputed_centroid=_certless(cfg),
+        )
         out_p = apply_weighting_order1(
             est_p, m00_p, fallback_p, cfg.merge.weight_threshold
         )
@@ -739,9 +798,13 @@ def _handheld_raw_fast(
         )
         out_p = apply_weighting(num_p, den_p, fallback_p, cfg.merge.weight_threshold)
     if cfg.final_restore and cfg.scale == 2:
-        from multi_frame_super_resolution_tpu.ops.restore import restore_phases
+        from multi_frame_super_resolution_tpu.ops.restore import (
+            restore_phases,
+            temporal_noise_stat,
+        )
 
-        out_p = restore_phases(out_p)
+        stat = temporal_noise_stat(gray_wh, residual=res_half[1:])
+        out_p = _gated_restore(out_p, cfg, stat, restore_phases)
     if cfg.gamma:
         out_p = srgb_gamma(out_p)
     # MXU scatter-matmul interleave: XLA's transpose+reshape lowering of

@@ -304,6 +304,7 @@ def solve_plugin(
     moments: Tuple[jnp.ndarray, ...],
     grad_fn,
     iters: int = 2,
+    precomputed_centroid: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """First-order centroid-bias correction with a PLUGIN gradient.
 
@@ -329,13 +330,19 @@ def solve_plugin(
     ok = m00 > 1e-8
     inv = jnp.where(ok, 1.0 / jnp.maximum(m00, 1e-8), 0.0)
     pilot = b0 * inv
-    # clamp the centroid to +-2 output px: where coverage is marginal
-    # (m00 barely above the weight threshold) the ratio can reach
-    # several pixels and the correction overshoots — the exact solver
-    # has ridge + determinant guards, this is the plugin equivalent
-    # (advisor finding r4; normal-coverage centroids measure ~0.2 px)
-    cy = jnp.clip(m01 * inv, -2.0, 2.0)
-    cx = jnp.clip(m02 * inv, -2.0, 2.0)
+    if precomputed_centroid:
+        # fast_merge's certless shared centroid (centroid_cert=False):
+        # slots 1/2 already hold clipped (cy, cx) fields
+        cy, cx = m01, m02
+    else:
+        # clamp the centroid to +-2 output px: where coverage is
+        # marginal (m00 barely above the weight threshold) the ratio
+        # can reach several pixels and the correction overshoots — the
+        # exact solver has ridge + determinant guards, this is the
+        # plugin equivalent (advisor finding r4; normal-coverage
+        # centroids measure ~0.2 px)
+        cy = jnp.clip(m01 * inv, -2.0, 2.0)
+        cx = jnp.clip(m02 * inv, -2.0, 2.0)
     est = pilot
     for _ in range(max(iters, 0)):
         gy, gx = grad_fn(est)

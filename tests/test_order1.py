@@ -346,3 +346,49 @@ def test_centroid_block_exact_on_uniform_flow(rng):
         np.testing.assert_allclose(np.asarray(block[i]),
                                    np.asarray(parity[i]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_centroid_certless_matches_block_at_unit_cert(rng):
+    """With certainty == 1 the certless shared centroid (centroid_cert=
+    False) is algebraically identical to the per-cell block-center
+    centroid: cy = clip(m01/m00), cx = clip(m02/m00). m00/b0 must be
+    untouched; slots 1/2 hold the precomputed clipped ratios."""
+    from multi_frame_super_resolution_tpu.models.fast_merge import (
+        merge_burst_raw_planes,
+    )
+
+    f, hh, hw, s = 3, 8, 10, 2
+    cfa = [[1, 0], [2, 1]]
+    planes = rng.random((f, 2, 2, hh, hw)).astype(np.float32)
+    residual = rng.normal(0, 0.3, (f, hh, hw, 2)).astype(np.float32)
+    cert = np.ones((f, hh, hw, 3), np.float32)
+    om_g = (rng.random((hh, hw, 3)) * 0.5 + 0.5).astype(np.float32)
+    om_g[..., 2] = 0.1
+    args = (
+        jnp.asarray(planes), jnp.asarray(residual), jnp.asarray(cert),
+        jnp.asarray(om_g), jnp.asarray(om_g * 0.8), cfa, s,
+    )
+    kw = dict(radius=1, residual_bound=0.5, k_max=1.0, phase_output=True,
+              order=1, prune_exp=3.0, moment_slots=4)
+    block = merge_burst_raw_planes(*args, centroid_block=True, **kw)
+    certless = merge_burst_raw_planes(*args, centroid_cert=False, **kw)
+    m00, m01, m02 = block[0], block[1], block[2]
+    inv = np.where(
+        np.asarray(m00) > 1e-8, 1.0 / np.maximum(np.asarray(m00), 1e-8), 0.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(certless[0]), np.asarray(m00), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(certless[3]), np.asarray(block[3]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(certless[1]),
+        np.clip(np.asarray(m01) * inv, -2.0, 2.0),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(certless[2]),
+        np.clip(np.asarray(m02) * inv, -2.0, 2.0),
+        rtol=1e-4, atol=1e-5,
+    )

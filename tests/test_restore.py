@@ -53,3 +53,54 @@ def test_restore_kernel_dc_unity():
 
     # flat fields pass through exactly (unit DC gain)
     np.testing.assert_allclose(RESTORE_KERNEL.sum(), 1.0, atol=1e-5)
+
+
+def test_temporal_noise_stat_compensates_subpixel(rng):
+    """A clean burst misregistered by a known subpixel residual must
+    measure near-zero noise once the residual is compensated; the
+    uncompensated statistic reads residual * gradient instead."""
+    from multi_frame_super_resolution_tpu.ops.restore import (
+        temporal_noise_stat,
+    )
+
+    h, w = 96, 128
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = (0.5 + 0.3 * np.sin(xx / 7.0) * np.cos(yy / 5.0)).astype(np.float32)
+    dx = 0.4
+    shifted = np.empty_like(img)
+    shifted[:, 1:] = (1 - dx) * img[:, 1:] + dx * img[:, :-1]
+    shifted[:, 0] = img[:, 0]
+    gray = jnp.asarray(np.stack([img, shifted]))
+    res = np.zeros((1, h, w, 2), np.float32)
+    # frame(x + flow) ~= ref(x) convention: shifted(x) = img(x - dx), so
+    # shifted(x + dx) = img(x) and the residual flow is +dx
+    res[..., 1] = dx
+    comp = float(temporal_noise_stat(gray, residual=jnp.asarray(res)))
+    raw = float(temporal_noise_stat(gray))
+    assert raw > 5e-3, raw
+    assert comp < raw / 3.0, (comp, raw)
+
+
+def test_temporal_noise_stat_reads_noise_floor(rng):
+    """Registered frames differing only by iid noise: the statistic must
+    scale with the noise level (flat-region median of |N(0, sqrt(2))*s|
+    ~ 0.95 s)."""
+    from multi_frame_super_resolution_tpu.ops.restore import (
+        temporal_noise_stat,
+    )
+
+    base = rng.random((96, 128)).astype(np.float32) * 0.1 + 0.4
+    lo = base + rng.normal(0, 0.005, base.shape).astype(np.float32)
+    hi = base + rng.normal(0, 0.02, base.shape).astype(np.float32)
+    s_lo = float(temporal_noise_stat(jnp.asarray(np.stack([base, lo]))))
+    s_hi = float(temporal_noise_stat(jnp.asarray(np.stack([base, hi]))))
+    assert s_hi > 2.0 * s_lo, (s_lo, s_hi)
+
+
+def test_restore_gain_edges():
+    from multi_frame_super_resolution_tpu.ops.restore import restore_gain
+
+    assert float(restore_gain(jnp.asarray(0.001), 0.014, 0.020)) == 1.0
+    assert float(restore_gain(jnp.asarray(0.5), 0.014, 0.020)) == 0.0
+    mid = float(restore_gain(jnp.asarray(0.017), 0.014, 0.020))
+    assert 0.4 < mid < 0.6, mid

@@ -86,10 +86,19 @@ def main():
         HandheldConfig,
     )
     from multi_frame_super_resolution_tpu.data import load_burst, mosaic_rggb
-    from multi_frame_super_resolution_tpu.models import handheld_superres_raw
+    from multi_frame_super_resolution_tpu.models import (
+        handheld_superres,
+        handheld_superres_raw,
+    )
 
     burst = load_burst("city")
-    raw = jnp.asarray(np.stack([mosaic_rggb(f) for f in burst]))
+    rgb_pipe = os.environ.get("MFSR_BENCH_PIPE", "raw") == "rgb"
+    if rgb_pipe:
+        raw = jnp.asarray(np.stack([np.asarray(f) for f in burst]))
+        pipe = handheld_superres
+    else:
+        raw = jnp.asarray(np.stack([mosaic_rggb(f) for f in burst]))
+        pipe = handheld_superres_raw
 
     base = HandheldConfig(
         align=AlignConfig(tile_size=16, search_radius=4, levels=2), gamma=False
@@ -109,7 +118,7 @@ def main():
     results = {}
     for rep in range(rounds):
         for name, cfg in variants.items():
-            fn = lambda b, c=cfg: handheld_superres_raw(b, c)  # noqa: E731
+            fn = lambda b, c=cfg: pipe(b, c)  # noqa: E731
             ms = amortized_ms_barrier(fn, raw, k=k, reps=reps)
             results.setdefault(name, []).append(ms)
             print(f"[rep {rep}] {name:44s} {ms:6.3f} ms", flush=True)

@@ -181,7 +181,12 @@ class MergeConfig:
     #              4.5x — the fast-path default once quality parity was
     #              measured (round 4)
     solver: str = "plugin"
-    plugin_iters: int = 2
+    # plugin gradient iterations: 1 measures identical true-HR fidelity
+    # to 2 (26.88 dB at matched settings, round 5) and mixed-sign
+    # golden deltas within 0.2 dB, while each iteration costs a
+    # gradient + correction pass over the full phase stack (~0.06-0.16
+    # ms/burst at city size, k=24 differencing)
+    plugin_iters: int = 1
     # order-1 fast RAW merge: evaluate the Gaussian weights at the same
     # parity-interpolated per-pixel displacement as the moments (the
     # oracle's convention) instead of the block-center approximation.
@@ -337,6 +342,19 @@ class HandheldConfig:
     # measurement error). ~4x less search volume. Requires even H, W
     # (else the full-res search runs as before).
     half_align: bool = True
+    # RGB fast path: run the LK refinement and the robustness model on
+    # 2x-downsampled luma/RGB (the reference's own resolution for both —
+    # deBayersSubSample3 feeds ComputeRobustnessMask and the LK chain,
+    # RobustnessModell.cu:28, opticalFlow.cu:189) and lift the residual
+    # flow / certainty back to full res. MEASURED NEGATIVE, default off
+    # (round 5): 7.5 vs 6.5 ms/burst at city size — the channel-minor
+    # (H, W, 2/3) lift passes cost more than the quarter-volume LK
+    # saves — and the lifted masks lose what the full-res robustness
+    # catches on the small noisy bursts (RGB goldens: car 33.13 vs
+    # 34.73, iso 26.45 vs 27.79). The RAW pipeline gets the same
+    # economics for free because its inputs are NATIVELY half-res CFA
+    # planes (no lift back).
+    rgb_half_stats: bool = False
     # alignment via the pairwise global-consistency solve (ShiftMinimizer
     # equivalent) instead of direct-to-reference measurements; ~2x the
     # alignment cost, more robust on low-texture frames

@@ -49,14 +49,16 @@ def _gated_restore(out, cfg, stat, restore_fn):
     (ops.restore.restore_gain) when cfg.restore_noise_gate, else at full
     strength. ``stat`` is the registered temporal noise statistic (or
     None to force full strength); restore is linear, so the gated form
-    is an exact lerp out + g*(restore(out) - out)."""
-    restored = restore_fn(out)
+    is an exact lerp out + g*(restore(out) - out), which restore_fn
+    fuses into its own accumulation pass (gain kwarg) — an external
+    lerp costs an extra full-stack read-modify-write (~0.05-0.1
+    ms/burst at city size, round-5 k=24 differencing)."""
     if not cfg.restore_noise_gate or stat is None:
-        return restored
+        return restore_fn(out)
     from multi_frame_super_resolution_tpu.ops.restore import restore_gain
 
     g = restore_gain(stat, cfg.restore_gate_lo, cfg.restore_gate_hi)
-    return out + g * (restored - out)
+    return restore_fn(out, gain=g)
 
 
 def _certless(cfg):
@@ -345,23 +347,55 @@ def _handheld_fast(
     else:
         res_flow = jax.vmap(lift)(res_tiles)
 
+    # half-res statistics (cfg.rgb_half_stats): LK and robustness run on
+    # 2x-downsampled luma/RGB — the reference's own resolution for both
+    # (deBayersSubSample3 feeds ComputeRobustnessMask and the LK chain) —
+    # and the residual flow / certainty lift back to full res. The merge
+    # still sees full-res samples.
+    half_stats = cfg.rgb_half_stats and h % 2 == 0 and w % 2 == 0
+    gray_w = rgb_to_gray(warped)
+    if half_stats:
+        warped_h = jax.vmap(downsample2)(warped)
+        gray_wh = rgb_to_gray(warped_h)
     if cfg.use_lk:
         lk_cfg = dataclasses.replace(
             cfg.lk, bounded_warp=max(int(cfg.residual_bound) + 1, 2)
         )
-        gray_w = rgb_to_gray(warped)
-        ref_g = gray_w[0]
-        res_flow = jax.vmap(lambda g, fl: lk_refine(ref_g, g, fl, lk_cfg))(
-            gray_w, res_flow
-        )
+        if half_stats:
+            res_h = jax.vmap(downsample2)(res_flow) * 0.5
+            res_h = jax.vmap(
+                lambda g, fl: lk_refine(gray_wh[0], g, fl, lk_cfg)
+            )(gray_wh, res_h)
+            # gatherless 2x lift: resize() lowers to a per-pixel gather
+            # (~9 cycles/element on TPU) and cost more than the half-res
+            # LK saved — 18.8 vs 6.5 ms/burst, round-5 k=8 measurement
+            res_flow = jax.vmap(
+                lambda fl: upsample_int(fl, 2, "bilinear") * 2.0
+            )(res_h)[:, :h, :w]
+        else:
+            res_flow = jax.vmap(
+                lambda g, fl: lk_refine(gray_w[0], g, fl, lk_cfg)
+            )(gray_w, res_flow)
         res_flow = res_flow.at[0].set(0.0)
     res_flow = jnp.clip(res_flow, -cfg.residual_bound, cfg.residual_bound)
 
     # robustness on the warped frames (flows are now bounded-small)
-    ref = warped[0]
-    cert = jax.vmap(
-        lambda mv, fl: robustness_mask(ref, mv, fl, cfg.robustness, bounded=2)[..., :3]
-    )(warped, res_flow)
+    if half_stats:
+        cert_h = jax.vmap(
+            lambda mv, fl: robustness_mask(
+                warped_h[0], mv, fl, cfg.robustness, bounded=2
+            )[..., :3]
+        )(warped_h, jax.vmap(downsample2)(res_flow) * 0.5)
+        cert = jax.vmap(lambda c: upsample_int(c, 2, "bilinear"))(cert_h)[
+            :, :h, :w
+        ]
+    else:
+        ref = warped[0]
+        cert = jax.vmap(
+            lambda mv, fl: robustness_mask(
+                ref, mv, fl, cfg.robustness, bounded=2
+            )[..., :3]
+        )(warped, res_flow)
     if valid_w is not None:
         cert = cert * valid_w[..., None]
     cert = cert.at[0].set(1.0)
@@ -445,10 +479,63 @@ def _handheld_fast(
     return jnp.clip(out, 0.0, 1.0)
 
 
+def _image_phases(img: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(n*hh, n*hw, C) image -> channel-leading phase planes
+    (n, n, C, hh, hw): the inverse of interleave_phases_planes. Used to
+    feed an externally supplied fallback image (e.g. the scale-4
+    cascade's upsampled scale-2 result) into the phase-domain finalize."""
+    h, w, c = img.shape
+    hh, hw = h // n, w // n
+    return img.reshape(hh, n, hw, n, c).transpose(1, 3, 4, 0, 2)
+
+
+def handheld_superres_raw_cascade(
+    raw_burst: jnp.ndarray,
+    cfg: HandheldConfig,
+) -> jnp.ndarray:
+    """Scale-4 as a 2x-cascade: the scale-4 merge runs as usual, but its
+    weight-threshold fallback is the bicubic 2x upsample of the SCALE-2
+    pipeline output instead of demosaic+bicubic-4x. At 4x a 5-frame
+    burst covers only ~1/3 of the 16 output phases (tests/
+    test_fidelity.py scale-4 notes), so the fallback blend carries much
+    of the image — upgrading it from single-frame demosaic quality to
+    the full burst-merge quality lifts exactly the uncovered phases.
+    The reference's accumulateImagesSuperRes is hardwired to its 2x
+    grid (DeBayerKernels.cu:378-468); this is the capability extension
+    the BASELINE '2x-4x upsample' line asks for.
+
+    The scale-4 stage runs with weight_threshold raised to >= 1.0: with
+    the (scale/2)^2 kernel-clamp rescale m00 rarely drops below the
+    scale-2 threshold (the coverage gap shows as wide-kernel blur, not
+    fallback), so the soft (est*m00 + fb)/(m00 + 1) blend must engage
+    earlier to let the SR2 fallback carry the uncovered phases.
+    Round-5 grid (city 5-frame true-HR, tools output in /tmp/scale4b):
+    threshold 0.01 -> 21.85 dB (= non-cascade), 0.3 -> 21.94, 1.0 ->
+    22.19, 3.0 -> 22.09; narrow-kernel variants all lose. Baseline
+    demosaic+bicubic-4x is 21.81 — the cascade turns the 5-frame burst
+    from baseline parity into +0.38 dB."""
+    import dataclasses
+
+    assert cfg.scale == 4, "cascade targets scale 4 (= 2x o 2x)"
+    sr2 = handheld_superres_raw(
+        raw_burst, dataclasses.replace(cfg, scale=2, gamma=False)
+    )
+    fb = upscale(sr2, 2, "bicubic")
+    cfg4 = dataclasses.replace(
+        cfg,
+        merge=dataclasses.replace(
+            cfg.merge,
+            weight_threshold=max(cfg.merge.weight_threshold, 1.0),
+        ),
+    )
+    return handheld_superres_raw(raw_burst, cfg4, fallback_hr=fb)
+
+
 def handheld_superres_raw(
     raw_burst: jnp.ndarray,
     cfg: HandheldConfig = HandheldConfig(gamma=True),
     prealign_override=None,
+    fallback_hr: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Bayer RAW burst (F, H, W), values normalized to [0, 1] -> merged
     RGB (scale*H, scale*W, 3).
@@ -463,7 +550,9 @@ def handheld_superres_raw(
     units — see handheld_superres.
     """
     if cfg.fast:
-        return _handheld_raw_fast(raw_burst, cfg, prealign_override)
+        return _handheld_raw_fast(
+            raw_burst, cfg, prealign_override, fallback_hr=fallback_hr
+        )
     f, h, w = raw_burst.shape
     half = jax.vmap(lambda r: debayer_subsample(r, cfg.cfa_pattern))(raw_burst)
     gray_half = rgb_to_gray(half)
@@ -507,7 +596,12 @@ def handheld_superres_raw(
 
     flows_raw = jax.vmap(lambda fl: resize(fl, h, w, "bilinear") * 2.0)(flows_half)
 
-    fallback = upscale(debayer(raw_burst[0], cfg.cfa_pattern), cfg.scale, "bicubic")
+    if fallback_hr is not None:
+        fallback = fallback_hr
+    else:
+        fallback = upscale(
+            debayer(raw_burst[0], cfg.cfa_pattern), cfg.scale, "bicubic"
+        )
     # keep the oracle's gather window at the reference's 5x5 — see the
     # oracle_radius note in handheld_superres (advisor finding r4)
     oracle_radius = max(cfg.merge.radius, 2)
@@ -560,7 +654,8 @@ def _subsample_from_planes(planes: jnp.ndarray, cfa) -> jnp.ndarray:
 
 
 def _handheld_raw_fast(
-    raw_burst: jnp.ndarray, cfg: HandheldConfig, prealign_override=None
+    raw_burst: jnp.ndarray, cfg: HandheldConfig, prealign_override=None,
+    fallback_hr: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Gatherless RAW pipeline in the CFA-PLANE domain: half-res alignment
     -> integer PLANE warps (even RAW shifts preserve the CFA phase, so the
@@ -718,7 +813,12 @@ def _handheld_raw_fast(
         upsample_int_phases_planes,
     )
 
-    fallback_p = upsample_int_phases_planes(half[0], 2 * cfg.scale, "bilinear")
+    if fallback_hr is not None:
+        fallback_p = _image_phases(fallback_hr, 2 * cfg.scale)
+    else:
+        fallback_p = upsample_int_phases_planes(
+            half[0], 2 * cfg.scale, "bilinear"
+        )
     if cfg.merge.guided_rb:
         from multi_frame_super_resolution_tpu.models.fast_merge import (
             green_guide_planes,

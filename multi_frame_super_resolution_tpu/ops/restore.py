@@ -72,14 +72,19 @@ def _shift_last2(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return xp[..., pad + dy : pad + dy + h, pad + dx : pad + dx + w]
 
 
-def restore_image(img: jnp.ndarray, kernel: np.ndarray | None = None) -> jnp.ndarray:
+def restore_image(img: jnp.ndarray, kernel: np.ndarray | None = None,
+                  gain: jnp.ndarray | None = None) -> jnp.ndarray:
     """Apply the restoration FIR at output resolution.
 
     img: (H, W, C) or (H, W). Channel-minor entry is fine here — the
     shifts ride the leading two axes after a moveaxis; used by the
     oracle (gather-based) pipelines where layout is not the bottleneck.
     out[y, x] = sum_uv k[u, v] * img[y - u + r, x - v + r].
+    ``gain``: optional traced scalar — returns the noise-gated lerp
+    (1-g)*img + g*restored (see restore_phases).
     """
+    if gain is not None:
+        return img + gain * (restore_image(img, kernel) - img)
     k = RESTORE_KERNEL if kernel is None else kernel
     kh, kw = k.shape
     r_y, r_x = kh // 2, kw // 2
@@ -99,7 +104,8 @@ def restore_image(img: jnp.ndarray, kernel: np.ndarray | None = None) -> jnp.nda
     return jnp.moveaxis(out, 0, -1) if chan else out
 
 
-def restore_phases(planes: jnp.ndarray, kernel: np.ndarray | None = None) -> jnp.ndarray:
+def restore_phases(planes: jnp.ndarray, kernel: np.ndarray | None = None,
+                   gain: jnp.ndarray | None = None) -> jnp.ndarray:
     """Polyphase restoration on channel-leading phase planes.
 
     planes: (n, n, C, H, W) where n is the total upsampling factor and
@@ -118,10 +124,20 @@ def restore_phases(planes: jnp.ndarray, kernel: np.ndarray | None = None) -> jnp
     An earlier per-tap _shift_last2 unroll (pad per tap) was what took
     XLA minutes to fuse — the single shared pad is what makes this form
     compile fast, not the op count.
+
+    ``gain``: optional traced scalar g in [0, 1] — returns the lerp
+    (1-g)*planes + g*restored FUSED into the final accumulation pass
+    (the separable path scales its y-pass terms by g and folds
+    (1-g)*planes into the same sum), avoiding the extra full-stack
+    read-modify-write an external lerp costs (~0.05-0.1 ms/burst at
+    city size, round-5 k=24 differencing). Used by the noise-adaptive
+    restore gate (models.handheld._gated_restore).
     """
     if kernel is None:
         # the default kernel is exactly rank-2 — lower it separably
-        return _restore_phases_separable(planes, RESTORE_FACTORS)
+        return _restore_phases_separable(planes, RESTORE_FACTORS, gain=gain)
+    if gain is not None:
+        return planes + gain * (restore_phases(planes, kernel) - planes)
     k = kernel
     n, _, c, h, w = planes.shape
     wk, m_rad = _polyphase_conv_kernel(np.asarray(k, np.float32), n)
@@ -161,14 +177,23 @@ def _polyphase_taps_1d(v: np.ndarray, n: int):
     return w, m_rad
 
 
-def _restore_phases_separable(planes: jnp.ndarray, factors) -> jnp.ndarray:
+def _restore_phases_separable(planes: jnp.ndarray, factors,
+                              gain: jnp.ndarray | None = None) -> jnp.ndarray:
     """Separable polyphase restoration: for each rank (uy, vx) run a 1-D
     x-pass then a 1-D y-pass over the phase planes and sum the ranks.
     Each pass is 7 static slice x scalar FMAs per output phase (vs 49 for
-    the dense polyphase), with the same per-plane edge clamp."""
+    the dense polyphase), with the same per-plane edge clamp.
+    ``gain``: see restore_phases — scales every y-pass term by the traced
+    scalar and seeds the accumulator with (1-gain)*planes, so the gated
+    lerp rides the same fused accumulation."""
     n = planes.shape[0]
     h, w = planes.shape[-2], planes.shape[-1]
     out = None
+    if gain is not None:
+        out = [
+            [(1.0 - gain) * planes[p, px] for px in range(n)]
+            for p in range(n)
+        ]
     for uy, vx in factors:
         wx, mx_rad = _polyphase_taps_1d(np.asarray(vx, np.float32), n)
         wy, my_rad = _polyphase_taps_1d(np.asarray(uy, np.float32), n)
@@ -202,7 +227,8 @@ def _restore_phases_separable(planes: jnp.ndarray, factors) -> jnp.ndarray:
                         coef = float(wy[p, q, m])
                         if coef == 0.0:
                             continue
-                        term = coef * ypad[px][q, :, m : m + h]
+                        cf = coef if gain is None else coef * gain
+                        term = cf * ypad[px][q, :, m : m + h]
                         acc = term if acc is None else acc + term
                 if out is None:
                     out = [[None] * n for _ in range(n)]

@@ -104,3 +104,18 @@ def test_restore_gain_edges():
     assert float(restore_gain(jnp.asarray(0.5), 0.014, 0.020)) == 0.0
     mid = float(restore_gain(jnp.asarray(0.017), 0.014, 0.020))
     assert 0.4 < mid < 0.6, mid
+
+
+def test_restore_phases_gain_is_exact_lerp(rng):
+    """The gain kwarg fuses the noise-gate lerp into the restoration
+    accumulation; it must equal (1-g)*x + g*restore(x) exactly (linear
+    algebra reassociation only)."""
+    from multi_frame_super_resolution_tpu.ops.restore import restore_phases
+
+    x = jnp.asarray(rng.random((4, 4, 3, 12, 14)).astype(np.float32))
+    g = jnp.asarray(0.37, jnp.float32)
+    fused = restore_phases(x, gain=g)
+    lerp = x + g * (restore_phases(x) - x)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(lerp), rtol=1e-5, atol=1e-6
+    )
